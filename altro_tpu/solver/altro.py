@@ -1,0 +1,315 @@
+"""ALTRO-style augmented-Lagrangian iLQR solver, TPU-native.
+
+This is the core deliverable: the equivalent of Altro.jl's `socp`-branch
+solver consumed by every reference benchmark (SURVEY.md section 3.5), rebuilt
+for XLA:
+
+- backward Riccati pass as a single ``lax.scan`` over the horizon
+- forward closed-loop rollout as ``lax.scan`` + backtracking line search in a
+  bounded ``lax.while_loop``
+- conic AL outer loop (dual update by polar-cone projection, geometric
+  penalty scaling) as a ``lax.while_loop``
+- every update masked on a ``done`` flag so the solve is ``vmap``-safe:
+  converged lanes are fixed points of the loop bodies
+
+Algorithm parity: outer AL loop (dual update lam <- proj_polar(lam + rho c),
+penalty rho <- rho * penalty_scaling from penalty_initial) around an inner
+iLQR loop (backward Riccati with regularization, line-searched rollout,
+cost/gradient convergence), terminated by max_violation <
+constraint_tolerance. ``projected_newton`` polish is disabled in every
+reference benchmark (run_random_linear.jl:48) and is not replicated.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..constraints import ConicConstraint, DualState, al_cost, al_terms
+from ..cones import project_polar
+from ..dynamics import LTVDynamics
+from ..problem import Problem
+from .options import SolverOptions
+
+
+@struct.dataclass
+class Stats:
+    iterations: jnp.ndarray        # total inner (iLQR) iterations
+    outer_iterations: jnp.ndarray  # AL iterations
+    cost: jnp.ndarray              # final true (un-penalized) cost
+    viol: jnp.ndarray              # final max constraint violation
+    gradient: jnp.ndarray
+    status: jnp.ndarray            # 1 = SOLVE_SUCCEEDED, 0 = MAX_ITERATIONS
+
+
+@struct.dataclass
+class Solution:
+    X: jnp.ndarray                 # [N, n]
+    U: jnp.ndarray                 # [N-1, m]
+    K: jnp.ndarray                 # [N-1, m, n] final feedback gains
+    duals: Tuple[DualState, ...]
+    stats: Stats
+
+
+# ----------------------------------------------------------------------------
+# AL cost and expansion
+# ----------------------------------------------------------------------------
+
+def total_al_cost(prob: Problem, duals, X, U):
+    J = prob.cost.total(X, U)
+    for con, dual in zip(prob.constraints, duals):
+        J = J + al_cost(con, dual, X, U)
+    return J
+
+
+def al_expansion(prob: Problem, duals, X, U):
+    """Quadratic expansion of the AL objective along (X, U).
+
+    Returns lx [N,n], lu [N,m], lxx [N,n,n], luu [N,m,m], lux [N,m,n].
+    All constraint blocks are affine, so the Gauss-Newton AL curvature
+    C^T (rho * Jpolar) C is exact up to the projection kink.
+    """
+    lx, lu, lxx, luu, lux = prob.cost.expansion(X, U)
+    for con, dual in zip(prob.constraints, duals):
+        _, g, Hc = al_terms(con, dual, X, U)
+        lx = lx + jnp.einsum("kpn,kp->kn", con.Cx, g)
+        lu = lu + jnp.einsum("kpm,kp->km", con.Cu, g)
+        lxx = lxx + jnp.einsum("kpi,kpq,kqj->kij", con.Cx, Hc, con.Cx)
+        luu = luu + jnp.einsum("kpi,kpq,kqj->kij", con.Cu, Hc, con.Cu)
+        lux = lux + jnp.einsum("kpi,kpq,kqj->kij", con.Cu, Hc, con.Cx)
+    return lx, lu, lxx, luu, lux
+
+
+# ----------------------------------------------------------------------------
+# Backward Riccati pass (lax.scan over the horizon, reverse)
+# ----------------------------------------------------------------------------
+
+def backward_pass(A, B, lx, lu, lxx, luu, lux, reg):
+    """Riccati recursion. A,B: [N-1,...]; expansions: [N,...].
+
+    Returns K [N-1,m,n], d [N-1,m], dV1, dV2 where the expected cost change
+    of a step of size alpha is alpha*dV1 + alpha^2*dV2 (dV1 <= 0).
+    """
+    m = B.shape[-1]
+    eye_m = jnp.eye(m, dtype=B.dtype)
+    VxT = lx[-1]
+    VxxT = lxx[-1]
+
+    def body(carry, inp):
+        Vx, Vxx, dV1, dV2 = carry
+        A_k, B_k, lx_k, lu_k, lxx_k, luu_k, lux_k = inp
+        VA = Vxx @ A_k
+        Qx = lx_k + A_k.T @ Vx
+        Qu = lu_k + B_k.T @ Vx
+        Qxx = lxx_k + A_k.T @ VA
+        Quu = luu_k + B_k.T @ (Vxx @ B_k)
+        Qux = lux_k + B_k.T @ VA
+        Quu_reg = Quu + reg * eye_m
+
+        rhs = jnp.concatenate([Qux, Qu[:, None]], axis=1)
+        sol = jnp.linalg.solve(Quu_reg, rhs)
+        K_k = -sol[:, :-1]
+        d_k = -sol[:, -1]
+
+        Vx_n = Qx + K_k.T @ (Quu @ d_k) + K_k.T @ Qu + Qux.T @ d_k
+        Vxx_n = Qxx + K_k.T @ (Quu @ K_k) + K_k.T @ Qux + Qux.T @ K_k
+        Vxx_n = 0.5 * (Vxx_n + Vxx_n.T)
+        dV1 = dV1 + d_k @ Qu
+        dV2 = dV2 + 0.5 * d_k @ (Quu @ d_k)
+        return (Vx_n, Vxx_n, dV1, dV2), (K_k, d_k)
+
+    zero = jnp.zeros((), A.dtype)
+    xs = (A, B, lx[:-1], lu[:-1], lxx[:-1], luu[:-1], lux[:-1])
+    (Vx, Vxx, dV1, dV2), (K, d) = jax.lax.scan(
+        body, (VxT, VxxT, zero, zero), xs, reverse=True)
+    return K, d, dV1, dV2
+
+
+# ----------------------------------------------------------------------------
+# Forward closed-loop rollout
+# ----------------------------------------------------------------------------
+
+def rollout_closed_loop(dynamics, Xbar, Ubar, K, d, alpha):
+    """x+ = f(x, ubar + alpha d + K (x - xbar)). Returns (X, U)."""
+    Nm1 = Ubar.shape[0]
+    if isinstance(dynamics, LTVDynamics):
+        xs = (Xbar[:-1], Ubar, K, d, dynamics.A, dynamics.B, dynamics.d)
+
+        def body(x, inp):
+            xb, ub, K_k, d_k, A_k, B_k, dd_k = inp
+            u = ub + alpha * d_k + K_k @ (x - xb)
+            x1 = A_k @ x + B_k @ u + dd_k
+            return x1, (x, u)
+    else:
+        xs = (Xbar[:-1], Ubar, K, d, jnp.arange(Nm1))
+
+        def body(x, inp):
+            xb, ub, K_k, d_k, k = inp
+            u = ub + alpha * d_k + K_k @ (x - xb)
+            x1 = dynamics.step(x, u, k)
+            return x1, (x, u)
+
+    xN, (Xh, U) = jax.lax.scan(body, Xbar[0], xs)
+    X = jnp.concatenate([Xh, xN[None]], axis=0)
+    return X, U
+
+
+# ----------------------------------------------------------------------------
+# Solve
+# ----------------------------------------------------------------------------
+
+def _where_tree(pred, a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def solve(prob: Problem, opts: SolverOptions,
+          U0: Optional[jnp.ndarray] = None,
+          duals: Optional[Tuple[DualState, ...]] = None) -> Solution:
+    """Solve the trajectory-optimization problem. Fully jittable/vmappable.
+
+    Warm start: pass ``U0`` (shifted controls) and ``duals`` (shifted
+    multipliers) from the previous MPC solve; states are re-derived by an
+    open-loop rollout from ``prob.x0`` (parity with Altro's ``rollout!`` on
+    warm-started solves).
+    """
+    dtype = prob.x0.dtype
+    N, n, m = prob.N, prob.n, prob.m
+    if U0 is None:
+        U0 = jnp.zeros((N - 1, m), dtype)
+    X0 = prob.dynamics.rollout(prob.x0, U0)
+
+    if duals is None:
+        duals = prob.init_duals(opts.penalty_initial)
+    else:
+        if opts.reset_duals:
+            duals = tuple(d.replace(lam=jnp.zeros_like(d.lam)) for d in duals)
+        if opts.reset_penalties:
+            duals = tuple(
+                d.replace(rho=jnp.full_like(d.rho, opts.penalty_initial))
+                for d in duals)
+
+    zero = jnp.zeros((), dtype)
+    K0 = jnp.zeros((N - 1, m, n), dtype)
+
+    # ---------------- inner iLQR loop ----------------
+    def ilqr(X, U, duals, reg, iters):
+        J0 = total_al_cost(prob, duals, X, U)
+
+        def cond(s):
+            X, U, J, K, reg, grad, it, done = s
+            return (~done) & (it < opts.iterations_inner)
+
+        def body(s):
+            X, U, J, K, reg, grad, it, done = s
+            A, B, _ = prob.dynamics.linearize(X, U)
+            lx, lu, lxx, luu, lux = al_expansion(prob, duals, X, U)
+            Knew, dff, dV1, dV2 = backward_pass(A, B, lx, lu, lxx, luu, lux, reg)
+
+            # Gradient metric (parity with Altro's d-based gradient check).
+            grad_new = jnp.max(
+                jnp.max(jnp.abs(dff), axis=-1)
+                / (jnp.max(jnp.abs(U), axis=-1) + 1.0))
+            pre_done = grad_new < opts.gradient_tolerance
+
+            # Backtracking line search (bounded while_loop).
+            def ls_cond(ls):
+                alpha, Xc, Uc, Jc, acc, lit = ls
+                return (~acc) & (lit < opts.iterations_linesearch)
+
+            def ls_body(ls):
+                alpha, Xc, Uc, Jc, acc, lit = ls
+                Xt, Ut = rollout_closed_loop(prob.dynamics, X, U, Knew, dff, alpha)
+                Jt = total_al_cost(prob, duals, Xt, Ut)
+                expected = -(alpha * dV1 + alpha * alpha * dV2)
+                ratio = (J - Jt) / jnp.maximum(expected, 1e-12)
+                ok = jnp.where(expected > 1e-12,
+                               ratio > opts.ls_min_ratio,
+                               Jt < J)
+                ok = ok & jnp.isfinite(Jt)
+                Xc = jnp.where(ok, Xt, Xc)
+                Uc = jnp.where(ok, Ut, Uc)
+                Jc = jnp.where(ok, Jt, Jc)
+                alpha_next = jnp.where(ok, alpha, alpha * opts.ls_decrease)
+                return (alpha_next, Xc, Uc, Jc, acc | ok, lit + 1)
+
+        # start the line search at full step
+            one = jnp.ones((), dtype)
+            ls0 = (one, X, U, J, jnp.zeros((), bool), jnp.zeros((), jnp.int32))
+            _, Xn, Un, Jn, accepted, _ = jax.lax.while_loop(ls_cond, ls_body, ls0)
+
+            # Regularization schedule.
+            reg_fail = jnp.clip(jnp.maximum(reg, opts.reg_min) * opts.reg_increase,
+                                opts.reg_min, opts.reg_max)
+            reg_ok = jnp.where(reg * opts.reg_decrease < opts.reg_min,
+                               0.0, reg * opts.reg_decrease)
+            reg_new = jnp.where(accepted, reg_ok, reg_fail)
+
+            dJ = J - Jn
+            stuck = (~accepted) & (reg >= opts.reg_max)
+            new_done = pre_done | (accepted & (dJ < opts.cost_tolerance)) | stuck
+
+            out = (Xn, Un, Jn, Knew, reg_new, grad_new, it + 1, new_done)
+            keep = (X, U, J, K, reg, grad, it, done)
+            return _where_tree(done, keep, out)
+
+        s0 = (X, U, J0, K0, reg, jnp.asarray(jnp.inf, dtype),
+              jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+        X, U, J, K, reg, grad, it, _ = jax.lax.while_loop(cond, body, s0)
+        return X, U, J, K, reg, grad, iters + it
+
+    # ---------------- outer AL loop ----------------
+    def al_cond(s):
+        X, U, K, duals, reg, grad, viol, it_in, it_out, done = s
+        return (~done) & (it_out < opts.iterations_outer)
+
+    def al_body(s):
+        X, U, K, duals, reg, grad, viol, it_in, it_out, done = s
+        Xn, Un, _, Kn, regn, gradn, it_in_n = ilqr(X, U, duals, reg, it_in)
+        violn = prob.max_violation(Xn, Un)
+        converged = violn < opts.constraint_tolerance
+
+        # Dual update always (warm-start-quality multipliers); penalty scaling
+        # only while unconverged.
+        new_duals = []
+        for con, dual in zip(prob.constraints, duals):
+            c = con.evaluate(Xn, Un)
+            z = dual.lam + dual.rho[:, None] * c
+            lam = project_polar(con.cone, z) * con.mask[:, None]
+            rho = jnp.where(converged, dual.rho,
+                            jnp.minimum(dual.rho * opts.penalty_scaling,
+                                        opts.penalty_max))
+            new_duals.append(DualState(lam=lam, rho=rho))
+        new_duals = tuple(new_duals)
+
+        out = (Xn, Un, Kn, new_duals, regn, gradn, violn, it_in_n,
+               it_out + 1, converged)
+        keep = s
+        return _where_tree(done, keep, out)
+
+    if len(prob.constraints) == 0:
+        X, U, J, K, reg, grad, it_in = ilqr(
+            X0, U0, duals, jnp.asarray(opts.reg_initial, dtype),
+            jnp.zeros((), jnp.int32))
+        stats = Stats(iterations=it_in, outer_iterations=jnp.ones((), jnp.int32),
+                      cost=prob.cost.total(X, U), viol=zero, gradient=grad,
+                      status=jnp.ones((), jnp.int32))
+        return Solution(X=X, U=U, K=K, duals=duals, stats=stats)
+
+    s0 = (X0, U0, K0, duals, jnp.asarray(opts.reg_initial, dtype),
+          jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
+          jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+          jnp.zeros((), bool))
+    X, U, K, duals, reg, grad, viol, it_in, it_out, done = \
+        jax.lax.while_loop(al_cond, al_body, s0)
+
+    stats = Stats(
+        iterations=it_in,
+        outer_iterations=it_out,
+        cost=prob.cost.total(X, U),
+        viol=viol,
+        gradient=grad,
+        status=done.astype(jnp.int32),
+    )
+    return Solution(X=X, U=U, K=K, duals=duals, stats=stats)

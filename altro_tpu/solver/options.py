@@ -1,0 +1,44 @@
+"""Solver options (parity with Altro.jl ``SolverOptions`` fields the
+reference uses; see run_random_linear.jl:41-49, grasp_benchmark.jl:19-34).
+
+Numeric tunings are pytree leaves so one compiled solve serves many option
+sets; iteration caps are static (they size ``lax.while_loop`` guards).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class SolverOptions:
+    # tolerances (reference: cost/constraint tolerance 1e-4 in every MPC loop)
+    cost_tolerance: float = 1e-4
+    gradient_tolerance: float = 1e-5
+    constraint_tolerance: float = 1e-4
+
+    # augmented-Lagrangian schedule
+    penalty_initial: float = 1.0
+    penalty_scaling: float = 10.0
+    penalty_max: float = 1e8
+
+    # backward-pass regularization
+    reg_initial: float = 0.0
+    reg_min: float = 1e-8
+    reg_max: float = 1e8
+    reg_increase: float = 10.0
+    reg_decrease: float = 0.5
+
+    # line search
+    ls_decrease: float = 0.5
+    ls_min_ratio: float = 1e-4   # Armijo-style acceptance on expected decrease
+
+    # iteration caps (static: they bound the while loops)
+    iterations_outer: int = struct.field(pytree_node=False, default=30)
+    iterations_inner: int = struct.field(pytree_node=False, default=50)
+    iterations_linesearch: int = struct.field(pytree_node=False, default=10)
+
+    # warm-start semantics (parity with reference MPC loops:
+    # reset_duals=false, penalties reset each solve)
+    reset_duals: bool = struct.field(pytree_node=False, default=False)
+    reset_penalties: bool = struct.field(pytree_node=False, default=True)
