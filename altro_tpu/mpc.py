@@ -1,0 +1,184 @@
+"""Warm-started receding-horizon MPC engine.
+
+TPU-native rebuild of the reference's MPC loops (``run_MPC``
+random_linear_problem.jl:85-189 and analogs): the whole receding-horizon run
+is one ``lax.scan`` over steps, each step being
+
+    propagate x0 through the first control (+ noise)
+    advance the tracking-cost window          (TO.update_trajectory!)
+    shift primal warm starts                  (RD.shift_fill!)
+    shift duals, reset penalties              (Altro.shift_fill!)
+    solve (warm-started)
+
+so the entire closed loop jits once and ``vmap``s over scenario batches —
+the headline capability the single-threaded reference lacks
+(SURVEY.md section 2.8).
+
+The lockstep variant solves the same QP with the in-framework ADMM solver
+each step and records inf-norm trajectory differences — the reference's
+cross-solver equivalence oracle (err_traj / err_x0, SURVEY.md section 4.1).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .costs import retarget_tracking
+from .problem import Problem
+from .solver import admm_qp
+from .solver.altro import Solution, solve
+from .solver.options import SolverOptions
+from .transcribe import to_batch_qp
+
+
+def shift_fill(arr):
+    """Shift one knot forward, repeating the last entry
+    (parity with RD.shift_fill!)."""
+    return jnp.concatenate([arr[1:], arr[-1:]], axis=0)
+
+
+def track_window(X_track, U_track, k0, N):
+    """Extract the [k0, k0+N) tracking window (clamped at the tail like
+    dynamic_slice; callers keep k0 <= len - N as the reference does)."""
+    n = X_track.shape[-1]
+    m = U_track.shape[-1]
+    Xw = jax.lax.dynamic_slice(X_track, (k0, 0), (N, n))
+    Uw = jax.lax.dynamic_slice(U_track, (k0, 0), (N - 1, m))
+    return Xw, Uw
+
+
+@struct.dataclass
+class MPCResults:
+    """Per-step records (leading axis = MPC step)."""
+
+    X: jnp.ndarray           # [T, N, n] ALTRO solutions
+    U: jnp.ndarray           # [T, N-1, m]
+    iters: jnp.ndarray       # [T]
+    status: jnp.ndarray      # [T]
+    viol: jnp.ndarray        # [T]
+    x0: jnp.ndarray          # [T, n] noisy initial states
+
+
+def run_mpc(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
+            noise, start_k: int = 0) -> MPCResults:
+    """Closed-loop ALTRO MPC tracking (X_track, U_track).
+
+    ``noise`` is [T, n] standard-normal; the injected disturbance is
+    noise * ||x0||_inf / 100 (1% noise, random_linear_problem.jl:129).
+    Returns the final solution and stacked per-step results.
+    """
+    N = prob_mpc.N
+    dyn = prob_mpc.dynamics
+
+    sol0 = solve(prob_mpc, opts)
+
+    def step(carry, noise_i):
+        x0, U, duals, k = carry
+        x_prop = dyn.step(x0, U[0], 0)
+        x0_new = x_prop + noise_i * jnp.max(jnp.abs(x_prop)) / 100.0
+        k_new = k + 1
+
+        Xw, Uw = track_window(X_track, U_track, k_new, N)
+        cost_new = retarget_tracking(prob_mpc.cost, Xw, Uw)
+        prob_k = prob_mpc.replace(cost=cost_new, x0=x0_new)
+
+        U_ws = shift_fill(U)
+        duals_ws = tuple(d.shift() for d in duals)
+        sol = solve(prob_k, opts, U0=U_ws, duals=duals_ws)
+
+        out = MPCResults(X=sol.X, U=sol.U, iters=sol.stats.iterations,
+                         status=sol.stats.status, viol=sol.stats.viol,
+                         x0=x0_new)
+        return (x0_new, sol.U, sol.duals, k_new), out
+
+    carry0 = (prob_mpc.x0, sol0.U, sol0.duals, jnp.asarray(start_k))
+    _, results = jax.lax.scan(step, carry0, noise)
+    return results
+
+
+# ----------------------------------------------------------------------------
+# Lockstep ALTRO-vs-ADMM-QP oracle loop (the reference's run_MPC comparison)
+# ----------------------------------------------------------------------------
+
+@struct.dataclass
+class LockstepResults:
+    err_X: jnp.ndarray       # [T] inf-norm state-trajectory difference
+    err_U: jnp.ndarray       # [T] inf-norm control difference
+    err_x0: jnp.ndarray      # [T, 2] distance of each solution's x0 to true x0
+    iters: jnp.ndarray       # [T, 2] (altro, qp)
+    status: jnp.ndarray      # [T, 2]
+    viol: jnp.ndarray        # [T]
+
+
+def _qp_shift_warmstart(qp, x, y, n, m, N):
+    """Shift QP primal/dual warm starts one knot (parity with the circshift
+    warm start at random_linear_problem.jl:150-157). Layout: primal knots of
+    (n+m); rows = dynamics (N-1)*n, x0 n, then per-knot constraint rows."""
+    xf = x[-n:]
+    x_s = jnp.roll(x, -(n + m))
+    x_s = x_s.at[-n:].set(xf)
+
+    lam_dyn = jnp.roll(y[:(N - 1) * n], -n)
+    lam_x0 = y[(N - 1) * n:N * n]
+    rest = y[N * n:]
+    p_total = rest.shape[0] // N if N else 0
+    lam_rest = jnp.roll(rest, -p_total) if rest.shape[0] else rest
+    return x_s, jnp.concatenate([lam_dyn, lam_x0, lam_rest])
+
+
+def run_mpc_lockstep(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
+                     noise, qp_eps: Optional[float] = None,
+                     qp_max_iter: int = 4000) -> LockstepResults:
+    """Run ALTRO and the in-framework ADMM QP in lockstep on the same MPC
+    instances and record their agreement (reference run_MPC,
+    random_linear_problem.jl:85-189)."""
+    N, n, m = prob_mpc.N, prob_mpc.n, prob_mpc.m
+    qp_eps = float(opts.cost_tolerance) if qp_eps is None else qp_eps
+    dyn = prob_mpc.dynamics
+
+    sol0 = solve(prob_mpc, opts)
+    work0 = admm_qp.setup(to_batch_qp(prob_mpc))
+    qsol0 = admm_qp.solve(work0, eps_abs=qp_eps, max_iter=qp_max_iter)
+
+    def step(carry, noise_i):
+        x0, U, duals, xq, yq, k = carry
+        x_prop = dyn.step(x0, U[0], 0)
+        x0_new = x_prop + noise_i * jnp.max(jnp.abs(x_prop)) / 100.0
+        k_new = k + 1
+
+        Xw, Uw = track_window(X_track, U_track, k_new, N)
+        cost_new = retarget_tracking(prob_mpc.cost, Xw, Uw)
+        prob_k = prob_mpc.replace(cost=cost_new, x0=x0_new)
+
+        # ALTRO side
+        U_ws = shift_fill(U)
+        duals_ws = tuple(d.shift() for d in duals)
+        sol = solve(prob_k, opts, U0=U_ws, duals=duals_ws)
+
+        # QP side: refresh q and the x0 rows, shift warm starts, solve
+        qp_k = to_batch_qp(prob_k)
+        work = work0.replace(qp=qp_k)
+        xw, yw = _qp_shift_warmstart(qp_k, xq, yq, n, m, N)
+        qsol = admm_qp.solve(work, x0=xw, y0=yw, eps_abs=qp_eps,
+                             max_iter=qp_max_iter)
+        Xq, Uq = admm_qp.extract_traj(qp_k, qsol.x)
+
+        out = LockstepResults(
+            err_X=jnp.max(jnp.abs(sol.X - Xq)),
+            err_U=jnp.max(jnp.abs(sol.U - Uq)),
+            err_x0=jnp.stack([jnp.linalg.norm(sol.X[0] - x0_new),
+                              jnp.linalg.norm(Xq[0] - x0_new)]),
+            iters=jnp.stack([sol.stats.iterations, qsol.iterations]),
+            status=jnp.stack([sol.stats.status, qsol.status]),
+            viol=sol.stats.viol,
+        )
+        carry_new = (x0_new, sol.U, sol.duals, qsol.x, qsol.y, k_new)
+        return carry_new, out
+
+    carry0 = (prob_mpc.x0, sol0.U, sol0.duals, qsol0.x, qsol0.y,
+              jnp.asarray(0))
+    _, results = jax.lax.scan(step, carry0, noise)
+    return results
