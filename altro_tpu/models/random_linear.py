@@ -77,27 +77,6 @@ def gen_trajectory(rng: np.random.Generator, prob: Problem, N: int
 def gen_tracking_mpc(prob: Problem, X_track, U_track, N_mpc: int,
                      Qk: float = 10.0, Rk: float = 0.1, Qfk: float = None,
                      dt: float = 0.1) -> Problem:
-    """N_mpc-step tracking MPC problem over the first window of the reference
-    (parity with gen_tracking_problem, benchmarks/mpc.jl:11-47: same
-    constraints minus any goal constraint, tracking objective with diagonal
-    Qk/Rk/Qfk weights)."""
-    Qfk = Qk if Qfk is None else Qfk
-    n, m = prob.n, prob.m
-    dtype = prob.x0.dtype
-    Q = jnp.eye(n, dtype=dtype) * Qk
-    R = jnp.eye(m, dtype=dtype) * Rk
-    Qf = jnp.eye(n, dtype=dtype) * Qfk
-    cost = tracking_objective(Q, R, Qf, X_track[:N_mpc], U_track[:N_mpc - 1], dt=dt)
-
-    dyn = prob.dynamics
-    dyn_mpc = LTVDynamics(A=dyn.A[:N_mpc - 1], B=dyn.B[:N_mpc - 1],
-                          d=dyn.d[:N_mpc - 1])
-    # Clip each block's active range to the window; the reference's index
-    # arithmetic (mpc.jl:36) maps stop=N-1 -> N_mpc-1, so the terminal knot
-    # of the window is inactive for every surviving block.
-    cons = tuple(
-        c.replace(Cx=c.Cx[:N_mpc], Cu=c.Cu[:N_mpc], b=c.b[:N_mpc],
-                  mask=c.mask[:N_mpc].at[N_mpc - 1].set(0.0))
-        for c in prob.constraints if c.name != "goal")
-    return Problem(dynamics=dyn_mpc, cost=cost, constraints=cons,
-                   x0=X_track[0])
+    """See :func:`altro_tpu.mpc.gen_tracking_mpc` (generic across models)."""
+    from ..mpc import gen_tracking_mpc as _gen
+    return _gen(prob, X_track, U_track, N_mpc, Qk=Qk, Rk=Rk, Qfk=Qfk, dt=dt)

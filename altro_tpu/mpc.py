@@ -26,12 +26,46 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .costs import retarget_tracking
+from .costs import retarget_tracking, tracking_objective
+from .dynamics import LTVDynamics
 from .problem import Problem
-from .solver import admm_qp
+from .solver import admm_conic, admm_qp
 from .solver.altro import Solution, solve
 from .solver.options import SolverOptions
-from .transcribe import to_batch_qp
+from .transcribe import to_batch_conic, to_batch_qp
+
+
+def default_noise_model(x_prop, noise_i):
+    """1% inf-norm process noise (random_linear_problem.jl:129)."""
+    return x_prop + noise_i * jnp.max(jnp.abs(x_prop)) / 100.0
+
+
+def gen_tracking_mpc(prob: Problem, X_track, U_track, N_mpc: int,
+                     Qk: float = 10.0, Rk: float = 0.1,
+                     Qfk: Optional[float] = None, dt: float = 0.1) -> Problem:
+    """Long-horizon problem + reference -> N_mpc-step tracking MPC problem.
+
+    Parity with ``gen_tracking_problem`` (benchmarks/mpc.jl:11-47): diagonal
+    tracking weights, same constraints minus any goal constraint, index
+    ranges clipped to the window (stop=N-1 maps to N_mpc-1, so the window's
+    terminal knot is inactive for every surviving block)."""
+    Qfk = Qk if Qfk is None else Qfk
+    n, m = prob.n, prob.m
+    dtype = prob.x0.dtype
+    Q = jnp.eye(n, dtype=dtype) * Qk
+    R = jnp.eye(m, dtype=dtype) * Rk
+    Qf = jnp.eye(n, dtype=dtype) * Qfk
+    cost = tracking_objective(Q, R, Qf, X_track[:N_mpc], U_track[:N_mpc - 1],
+                              dt=dt)
+    dyn = prob.dynamics
+    dyn_mpc = LTVDynamics(A=dyn.A[:N_mpc - 1], B=dyn.B[:N_mpc - 1],
+                          d=dyn.d[:N_mpc - 1])
+    cons = tuple(
+        c.replace(Cx=c.Cx[:N_mpc], Cu=c.Cu[:N_mpc], b=c.b[:N_mpc],
+                  mask=c.mask[:N_mpc].at[N_mpc - 1].set(0.0))
+        for c in prob.constraints if c.name != "goal")
+    return Problem(dynamics=dyn_mpc, cost=cost, constraints=cons,
+                   x0=X_track[0])
 
 
 def shift_fill(arr):
@@ -63,12 +97,13 @@ class MPCResults:
 
 
 def run_mpc(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
-            noise, start_k: int = 0) -> MPCResults:
+            noise, start_k: int = 0, noise_model=default_noise_model
+            ) -> MPCResults:
     """Closed-loop ALTRO MPC tracking (X_track, U_track).
 
-    ``noise`` is [T, n] standard-normal; the injected disturbance is
-    noise * ||x0||_inf / 100 (1% noise, random_linear_problem.jl:129).
-    Returns the final solution and stacked per-step results.
+    ``noise`` is [T, n] standard-normal; ``noise_model(x_prop, noise_i)``
+    maps it to the perturbed initial state (default: 1% inf-norm noise).
+    Returns stacked per-step results.
     """
     N = prob_mpc.N
     dyn = prob_mpc.dynamics
@@ -78,7 +113,7 @@ def run_mpc(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
     def step(carry, noise_i):
         x0, U, duals, k = carry
         x_prop = dyn.step(x0, U[0], 0)
-        x0_new = x_prop + noise_i * jnp.max(jnp.abs(x_prop)) / 100.0
+        x0_new = noise_model(x_prop, noise_i)
         k_new = k + 1
 
         Xw, Uw = track_window(X_track, U_track, k_new, N)
@@ -131,7 +166,8 @@ def _qp_shift_warmstart(qp, x, y, n, m, N):
 
 def run_mpc_lockstep(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
                      noise, qp_eps: Optional[float] = None,
-                     qp_max_iter: int = 4000) -> LockstepResults:
+                     qp_max_iter: int = 4000,
+                     noise_model=default_noise_model) -> LockstepResults:
     """Run ALTRO and the in-framework ADMM QP in lockstep on the same MPC
     instances and record their agreement (reference run_MPC,
     random_linear_problem.jl:85-189)."""
@@ -146,7 +182,7 @@ def run_mpc_lockstep(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
     def step(carry, noise_i):
         x0, U, duals, xq, yq, k = carry
         x_prop = dyn.step(x0, U[0], 0)
-        x0_new = x_prop + noise_i * jnp.max(jnp.abs(x_prop)) / 100.0
+        x0_new = noise_model(x_prop, noise_i)
         k_new = k + 1
 
         Xw, Uw = track_window(X_track, U_track, k_new, N)
@@ -180,5 +216,62 @@ def run_mpc_lockstep(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
 
     carry0 = (prob_mpc.x0, sol0.U, sol0.duals, qsol0.x, qsol0.y,
               jnp.asarray(0))
+    _, results = jax.lax.scan(step, carry0, noise)
+    return results
+
+
+def run_mpc_lockstep_conic(prob_mpc: Problem, opts: SolverOptions, X_track,
+                           U_track, noise, conic_eps: Optional[float] = None,
+                           conic_max_iter: int = 20000,
+                           noise_model=default_noise_model) -> LockstepResults:
+    """ALTRO vs the in-framework conic ADMM on SOC-constrained MPC problems
+    (the ECOS/COSMO lockstep of the rocket/grasp loops, simple_rocket.jl:106,
+    grasp_mpc.jl:7). The conic baseline is solved cold each step — parity
+    with the reference's fresh-JuMP-model-per-step pattern — but with the
+    factored KKT reused."""
+    N, n, m = prob_mpc.N, prob_mpc.n, prob_mpc.m
+    conic_eps = float(opts.cost_tolerance) if conic_eps is None else conic_eps
+    dyn = prob_mpc.dynamics
+
+    sol0 = solve(prob_mpc, opts)
+    work0 = admm_conic.setup(to_batch_conic(prob_mpc))
+
+    def step(carry, noise_i):
+        x0, U, duals, xc, yc, k = carry
+        x_prop = dyn.step(x0, U[0], 0)
+        x0_new = noise_model(x_prop, noise_i)
+        k_new = k + 1
+
+        Xw, Uw = track_window(X_track, U_track, k_new, N)
+        cost_new = retarget_tracking(prob_mpc.cost, Xw, Uw)
+        prob_k = prob_mpc.replace(cost=cost_new, x0=x0_new)
+
+        U_ws = shift_fill(U)
+        duals_ws = tuple(d.shift() for d in duals)
+        sol = solve(prob_k, opts, U0=U_ws, duals=duals_ws)
+
+        cp_k = to_batch_conic(prob_k)
+        work = work0.replace(prob=cp_k)
+        csol = admm_conic.solve(work, x0=xc, y0=yc, eps_abs=conic_eps,
+                                max_iter=conic_max_iter)
+        Xq, Uq = admm_conic.extract_traj(cp_k, csol.x)
+
+        out = LockstepResults(
+            err_X=jnp.max(jnp.abs(sol.X - Xq)),
+            err_U=jnp.max(jnp.abs(sol.U - Uq)),
+            err_x0=jnp.stack([jnp.linalg.norm(sol.X[0] - x0_new),
+                              jnp.linalg.norm(Xq[0] - x0_new)]),
+            iters=jnp.stack([sol.stats.iterations, csol.iterations]),
+            status=jnp.stack([sol.stats.status, csol.status]),
+            viol=sol.stats.viol,
+        )
+        carry_new = (x0_new, sol.U, sol.duals, csol.x, csol.y, k_new)
+        return carry_new, out
+
+    NNv = work0.prob.num_vars
+    Mv = work0.prob.A.shape[0]
+    dtype = prob_mpc.x0.dtype
+    carry0 = (prob_mpc.x0, sol0.U, sol0.duals,
+              jnp.zeros(NNv, dtype), jnp.zeros(Mv, dtype), jnp.asarray(0))
     _, results = jax.lax.scan(step, carry0, noise)
     return results

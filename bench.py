@@ -1,0 +1,83 @@
+"""Flagship benchmark: warm-started MPC solves/s/chip at horizon N=30.
+
+Runs the random-linear MPC benchmark config (n=12, m=6, N_mpc=30 — the
+BASELINE.json north-star config) as a vmapped batch of scenarios stepping a
+warm-started receding-horizon loop on one chip, and reports throughput.
+
+Baseline: the reference ALTRO solves this config in ~0.57 ms per warm-started
+MPC step on a desktop CPU core (figures/horizon_comp.tikz mean line: 0.583 ms
+at N=31, interpolated to N=30) => ~1754 solves/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_SOLVES_PER_S = 1000.0 / 0.57  # reference ALTRO, N=30 (see docstring)
+
+
+def main():
+    import altro_tpu as at
+    from altro_tpu.models import random_linear as rl
+    from altro_tpu.mpc import run_mpc
+
+    B = int(os.environ.get("BENCH_BATCH", 1024))
+    T = int(os.environ.get("BENCH_STEPS", 50))
+    N_mpc = 30
+    n, m = 12, 6
+    dtype = jnp.float32
+
+    rng = np.random.default_rng(1)
+    N_track = N_mpc + T + 2
+    prob = rl.gen_random_linear(rng, n, m, N_track, dtype=dtype)
+    X_track, U_track = rl.gen_trajectory(rng, prob, N_track)
+    prob_mpc = rl.gen_tracking_mpc(prob, X_track, U_track, N_mpc)
+
+    opts = at.SolverOptions(
+        cost_tolerance=1e-4, gradient_tolerance=1e-4,
+        constraint_tolerance=1e-4, penalty_initial=1e3,
+        penalty_scaling=100.0, reset_duals=False)
+
+    noise = jnp.asarray(rng.standard_normal((B, T, n)), dtype)
+
+    mpc = jax.jit(jax.vmap(
+        lambda nz: run_mpc(prob_mpc, opts, X_track, U_track, nz)))
+
+    # compile + warmup
+    res = mpc(noise)
+    jax.block_until_ready(res)
+
+    t0 = time.perf_counter()
+    res = mpc(noise)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+
+    solves = B * (T + 1)  # T warm steps + 1 cold solve per scenario
+    solves_per_s = solves / dt
+    success = float(jnp.mean(res.status))
+    max_viol = float(jnp.max(res.viol))
+
+    out = {
+        "metric": "mpc_solves_per_s_chip_N30",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
+    }
+    print(json.dumps(out))
+    # diagnostics on stderr so stdout stays one JSON line
+    import sys
+    print(f"# B={B} T={T} wall={dt:.3f}s success_rate={success:.4f} "
+          f"max_viol={max_viol:.2e} mean_iters={float(jnp.mean(res.iters)):.2f}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
