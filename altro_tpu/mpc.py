@@ -97,8 +97,8 @@ class MPCResults:
 
 
 def run_mpc(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
-            noise, start_k: int = 0, noise_model=default_noise_model
-            ) -> MPCResults:
+            noise, start_k: int = 0, noise_model=default_noise_model,
+            constraints_fn=None) -> MPCResults:
     """Closed-loop ALTRO MPC tracking (X_track, U_track).
 
     ``noise`` is [T, n] standard-normal; ``noise_model(x_prop, noise_i)``
@@ -119,6 +119,10 @@ def run_mpc(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
         Xw, Uw = track_window(X_track, U_track, k_new, N)
         cost_new = retarget_tracking(prob_mpc.cost, Xw, Uw)
         prob_k = prob_mpc.replace(cost=cost_new, x0=x0_new)
+        if constraints_fn is not None:
+            # time-varying constraint window (grasp/quadruped pattern:
+            # constraint data as pytree leaves, refreshed without re-jit)
+            prob_k = prob_k.replace(constraints=constraints_fn(k_new))
 
         U_ws = shift_fill(U)
         duals_ws = tuple(d.shift() for d in duals)
@@ -167,7 +171,8 @@ def _qp_shift_warmstart(qp, x, y, n, m, N):
 def run_mpc_lockstep(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
                      noise, qp_eps: Optional[float] = None,
                      qp_max_iter: int = 4000,
-                     noise_model=default_noise_model) -> LockstepResults:
+                     noise_model=default_noise_model,
+                     constraints_fn=None) -> LockstepResults:
     """Run ALTRO and the in-framework ADMM QP in lockstep on the same MPC
     instances and record their agreement (reference run_MPC,
     random_linear_problem.jl:85-189)."""
@@ -188,15 +193,24 @@ def run_mpc_lockstep(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
         Xw, Uw = track_window(X_track, U_track, k_new, N)
         cost_new = retarget_tracking(prob_mpc.cost, Xw, Uw)
         prob_k = prob_mpc.replace(cost=cost_new, x0=x0_new)
+        if constraints_fn is not None:
+            # time-varying constraint window (grasp/quadruped pattern:
+            # constraint data as pytree leaves, refreshed without re-jit)
+            prob_k = prob_k.replace(constraints=constraints_fn(k_new))
 
         # ALTRO side
         U_ws = shift_fill(U)
         duals_ws = tuple(d.shift() for d in duals)
         sol = solve(prob_k, opts, U0=U_ws, duals=duals_ws)
 
-        # QP side: refresh q and the x0 rows, shift warm starts, solve
+        # QP side: refresh q and the x0 rows, shift warm starts, solve.
+        # With fixed constraints the one-time KKT factor stays valid (only
+        # q/l/u change); time-varying constraints change A, so refactor.
         qp_k = to_batch_qp(prob_k)
-        work = work0.replace(qp=qp_k)
+        if constraints_fn is None:
+            work = work0.replace(qp=qp_k)
+        else:
+            work = admm_qp.setup(qp_k)
         xw, yw = _qp_shift_warmstart(qp_k, xq, yq, n, m, N)
         qsol = admm_qp.solve(work, x0=xw, y0=yw, eps_abs=qp_eps,
                              max_iter=qp_max_iter)
@@ -223,7 +237,8 @@ def run_mpc_lockstep(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
 def run_mpc_lockstep_conic(prob_mpc: Problem, opts: SolverOptions, X_track,
                            U_track, noise, conic_eps: Optional[float] = None,
                            conic_max_iter: int = 20000,
-                           noise_model=default_noise_model) -> LockstepResults:
+                           noise_model=default_noise_model,
+                           constraints_fn=None) -> LockstepResults:
     """ALTRO vs the in-framework conic ADMM on SOC-constrained MPC problems
     (the ECOS/COSMO lockstep of the rocket/grasp loops, simple_rocket.jl:106,
     grasp_mpc.jl:7). The conic baseline is solved cold each step — parity
@@ -245,13 +260,22 @@ def run_mpc_lockstep_conic(prob_mpc: Problem, opts: SolverOptions, X_track,
         Xw, Uw = track_window(X_track, U_track, k_new, N)
         cost_new = retarget_tracking(prob_mpc.cost, Xw, Uw)
         prob_k = prob_mpc.replace(cost=cost_new, x0=x0_new)
+        if constraints_fn is not None:
+            # time-varying constraint window (grasp/quadruped pattern:
+            # constraint data as pytree leaves, refreshed without re-jit)
+            prob_k = prob_k.replace(constraints=constraints_fn(k_new))
 
         U_ws = shift_fill(U)
         duals_ws = tuple(d.shift() for d in duals)
         sol = solve(prob_k, opts, U0=U_ws, duals=duals_ws)
 
+        # With fixed constraints the one-time KKT factor stays valid; a
+        # time-varying A requires a per-step refactor.
         cp_k = to_batch_conic(prob_k)
-        work = work0.replace(prob=cp_k)
+        if constraints_fn is None:
+            work = work0.replace(prob=cp_k)
+        else:
+            work = admm_conic.setup(cp_k)
         csol = admm_conic.solve(work, x0=xc, y0=yc, eps_abs=conic_eps,
                                 max_iter=conic_max_iter)
         Xq, Uq = admm_conic.extract_traj(cp_k, csol.x)
