@@ -1,0 +1,258 @@
+"""Quadruped MPC controller + closed-loop SRB simulation.
+
+TPU-native rebuild of Woofer/MPCControl/control.jl:1-112 (the 1 kHz control
+loop), altro_solver.jl / osqp_solver.jl / ecos_solver.jl (the three MPC
+backends), and mujoco_test.jl's simulation harness with the framework's own
+RK4 nonlinear-SRB plant in place of MuJoCo (SURVEY.md section 2.7: the
+published numbers only need the MPC solve loop, not contact-accurate sim).
+
+Design notes vs the reference:
+- the whole closed loop is a hierarchical ``lax.scan``: outer over MPC
+  periods (30 ms), inner over 1 kHz control ticks — the MPC trigger is
+  structural, the footstep/swing state machine is branchless (where-masked)
+- the plant's swing feet follow their splines kinematically (massless-leg
+  assumption already implicit in the reference's SRB model); swing PD forces
+  and J^T torques are still computed for parity and recorded
+- backends: 'altro' with linearized-friction (QP) or SOC friction cones,
+  'admm_qp' (the OSQP-role baseline), 'admm_conic' (the ECOS-role baseline)
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ... import constraints as C
+from ...costs import lqr_objective
+from ...problem import Problem
+from ...solver import admm_conic, admm_qp
+from ...solver.altro import solve
+from ...solver.options import SolverOptions
+from ...transcribe import to_batch_conic, to_batch_qp
+from ...mpc import shift_fill
+from .config import MPCConfig, woofer as _w
+from .gait import GAITS, Gait
+from . import kinematics, planner, swing
+from .srb import linearize_horizon, mrp_rotation, rk4_plant
+
+SPRUNG_MASS = _w.inertial.sprung_mass
+DT_SIM = 0.001
+
+
+def build_mpc_problem(cfg: MPCConfig, dtype=jnp.float64):
+    """Static parts of the MPC problem (ALTROParams.jl:32-108): LQR tracking
+    objective around x_des, per-foot friction constraints, vertical-force
+    bounds. Dynamics stacks are placeholders, relinearized each solve."""
+    N, n, m = cfg.N, 12, 12
+    Q = jnp.diag(jnp.asarray(cfg.q, dtype))
+    R = jnp.diag(jnp.asarray(cfg.r, dtype))
+    x_des = jnp.asarray(
+        [0.0, 0.0, cfg.stance_height, 0.0, 0.0, cfg.yaw_angle,
+         cfg.xy_vel[0], cfg.xy_vel[1], 0.0, 0.0, 0.0, cfg.omega_z], dtype)
+    cost = lqr_objective(Q, R, Q, x_des, N, dt=cfg.dynamics_discretization)
+
+    cons = []
+    for leg in range(4):
+        inds = (3 * leg, 3 * leg + 1, 3 * leg + 2)
+        if cfg.linearized_friction:
+            cons.append(C.linearized_friction(N, n, m, cfg.mu, inds,
+                                              dtype=dtype))
+        else:
+            cons.append(C.friction_cone(N, n, m, cfg.mu, inds, dtype=dtype))
+    u_min = jnp.full(m, -jnp.inf).at[2::3].set(cfg.min_vert_force)
+    u_max = jnp.full(m, jnp.inf).at[2::3].set(cfg.max_vert_force)
+    cons.append(C.bound_constraint(N, n, m, u_min=u_min, u_max=u_max,
+                                   dtype=dtype))
+
+    import numpy as np
+    dynA = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (N - 1, n, n))
+    dynB = jnp.zeros((N - 1, n, m), dtype)
+    dynd = jnp.zeros((N - 1, n), dtype)
+    from ...dynamics import LTVDynamics
+    prob = Problem(dynamics=LTVDynamics(A=dynA, B=dynB, d=dynd), cost=cost,
+                   constraints=tuple(cons), x0=x_des)
+    return prob, x_des
+
+
+def mpc_solve_forces(backend: str, prob: Problem, opts: SolverOptions,
+                     x_curr, x_ref, contacts, foot_locs, dt_mpc,
+                     U_prev, duals):
+    """One MPC solve (foot_forces! dispatch, altro_solver.jl:44-88 /
+    osqp_solver.jl / ecos_solver.jl). Relinearizes about (x_ref, 0) with the
+    horizon contact schedule, warm-starts, solves, returns forces [12]."""
+    u_ref = jnp.zeros((prob.N, 12), x_curr.dtype)
+    dyn = linearize_horizon(x_ref, u_ref, foot_locs, contacts, dt_mpc)
+    prob_k = prob.replace(dynamics=dyn, x0=x_curr)
+
+    if backend == "altro":
+        sol = solve(prob_k, opts, U0=shift_fill(U_prev),
+                    duals=tuple(d.shift() for d in duals))
+        return sol.U[0], sol.U, sol.duals, sol.stats.iterations, sol.stats.status
+    if backend == "admm_qp":
+        qp = to_batch_qp(prob_k)
+        qsol = admm_qp.solve(admm_qp.setup(qp),
+                             eps_abs=float(opts.cost_tolerance))
+        _, Uq = admm_qp.extract_traj(qp, qsol.x)
+        return Uq[0], Uq, duals, qsol.iterations, qsol.status
+    if backend == "admm_conic":
+        cp = to_batch_conic(prob_k)
+        csol = admm_conic.solve(admm_conic.setup(cp),
+                                eps_abs=float(opts.cost_tolerance))
+        _, Uc = admm_conic.extract_traj(cp, csol.x)
+        return Uc[0], Uc, duals, csol.iterations, csol.status
+    raise ValueError(backend)
+
+
+@struct.dataclass
+class SimState:
+    x: jnp.ndarray               # [12] SRB state
+    feet_w: jnp.ndarray          # [4, 3] world foot positions
+    prev_feet_b: jnp.ndarray     # [4, 3] body-frame feet (velocity estimate)
+    swing_coeffs: jnp.ndarray    # [4, 12] spline coefficients
+    planner_foot_loc: jnp.ndarray  # [4, 3]
+    next_foot_loc: jnp.ndarray   # [4, 3]
+    swing_tf: jnp.ndarray        # [4] spline end times
+    last_replan_t: jnp.ndarray
+    prev_phase: jnp.ndarray
+    forces: jnp.ndarray          # [12] current MPC forces
+    U_prev: jnp.ndarray          # [N-1, 12]
+    duals: Tuple
+
+
+def initial_state(prob: Problem, x_des, opts, dtype=jnp.float64) -> SimState:
+    nom = planner.nominal_foot_locations()
+    feet_w = (x_des[0:3][None, :] + nom).at[:, 2].set(
+        _w.geometry.foot_radius)
+    feet_b = feet_w - x_des[0:3][None, :]
+    u0 = jnp.tile(jnp.asarray([0.0, 0.0, SPRUNG_MASS * 9.81 / 4], dtype), 4)
+    return SimState(
+        x=x_des, feet_w=feet_w, prev_feet_b=feet_b,
+        swing_coeffs=jnp.zeros((4, 12), dtype),
+        planner_foot_loc=feet_w, next_foot_loc=feet_w,
+        swing_tf=jnp.zeros(4, dtype),
+        last_replan_t=jnp.zeros((), dtype),
+        prev_phase=jnp.zeros((), jnp.int32),
+        forces=u0,
+        U_prev=jnp.tile(u0, (prob.N - 1, 1)),
+        duals=prob.init_duals(opts.penalty_initial),
+    )
+
+
+def control_tick(state: SimState, t, gait: Gait, cfg: MPCConfig, x_des):
+    """One 1 kHz tick: swing state machine + plant integration
+    (control!, control.jl:1-112, branchless)."""
+    x = state.x
+    p = x[0:3]
+    rot = mrp_rotation(x[3:6])
+    feet_b = jnp.einsum("ji,kj->ki", rot, state.feet_w - p[None, :])
+    feet_vel_b = (feet_b - state.prev_feet_b) / DT_SIM
+
+    cur_phase = gait.phase_at(t)
+    cur_phase_time = gait.phase_time(t, cur_phase)
+    active = gait.contact_phases[cur_phase]
+    prev_active = gait.contact_phases[state.prev_phase]
+
+    # stance -> swing transition: plan footstep + regenerate full spline
+    released = (prev_active == 1) & (active == 0)
+    do_replan = (t - state.last_replan_t) > cfg.footstep_replan
+    replanning = (active == 0) & do_replan
+
+    planned = jax.vmap(lambda leg: planner.footstep_location(
+        x, rot, cur_phase, leg, gait, x_des))(jnp.arange(4))
+    upd = released | replanning
+    next_fl = jnp.where(upd[:, None], planned, state.next_foot_loc)
+    planner_fl = jnp.where(upd[:, None], planned, state.planner_foot_loc)
+
+    tf_release = t + gait.phase_times[cur_phase]
+    tf_replan = (t - cur_phase_time) + gait.phase_times[cur_phase]
+    swing_tf = jnp.where(released, tf_release,
+                         jnp.where(replanning, tf_replan, state.swing_tf))
+
+    def regen(leg, regen_z, tf):
+        return swing.foot_trajectory_coeffs(
+            x, rot, feet_b[leg], feet_vel_b[leg], next_fl[leg], t, tf,
+            cfg.step_height,
+            prev_z_coeffs=state.swing_coeffs[leg, 8:12],
+            regen_z=regen_z)
+
+    coeffs_full = jax.vmap(lambda l: regen(l, True, swing_tf[l]))(jnp.arange(4))
+    coeffs_xy = jax.vmap(lambda l: regen(l, False, swing_tf[l]))(jnp.arange(4))
+    coeffs = jnp.where(released[:, None], coeffs_full,
+                       jnp.where(replanning[:, None], coeffs_xy,
+                                 state.swing_coeffs))
+
+    # swing PD forces (parity path; recorded, legs are massless in the plant)
+    pd = jax.vmap(lambda l: swing.swing_pd_force(
+        x, rot, coeffs[l], feet_b[l], feet_vel_b[l], t,
+        omega=cfg.swing_omega, zeta=cfg.swing_zeta))(jnp.arange(4))
+
+    # plant step: stance feet pinned, swing feet track their splines
+    x_new = rk4_plant(x, state.forces, state.feet_w, active, DT_SIM)
+    spline_pos = jax.vmap(
+        lambda l: swing.swing_foot_target(coeffs[l], t + DT_SIM)[0]
+    )(jnp.arange(4))
+    feet_w_new = jnp.where(active[:, None] == 1, state.feet_w, spline_pos)
+
+    # joint torques (records; tau = J^T f blend, control.jl:107-111)
+    alpha = kinematics.inverse_kinematics_all(feet_b.reshape(-1))
+    tau_mpc = kinematics.force_to_torque(-state.forces, alpha)
+    tau_swing = kinematics.force_to_torque(pd.reshape(-1), alpha)
+    active12 = jnp.repeat(active, 3)
+    torques = active12 * tau_mpc + (1 - active12) * tau_swing
+
+    state = state.replace(
+        x=x_new, feet_w=feet_w_new, prev_feet_b=feet_b,
+        swing_coeffs=coeffs, planner_foot_loc=planner_fl,
+        next_foot_loc=next_fl, swing_tf=swing_tf,
+        last_replan_t=jnp.where(jnp.any(upd), t, state.last_replan_t),
+        prev_phase=cur_phase)
+    return state, torques
+
+
+def simulate(cfg: MPCConfig, opts: SolverOptions, tf: float = 2.0,
+             backend: str = "altro", dtype=jnp.float64):
+    """Closed-loop trot (quadruped_benchmark.jl:1-55 / mujoco_simulate).
+
+    Hierarchical scan: outer over MPC periods (cfg.update_dt), inner over
+    1 kHz ticks. Returns per-period records (body state, forces, iterations,
+    solver status).
+    """
+    gait = GAITS[cfg.gait_type](cfg.stance_time, cfg.swing_time)
+    prob, x_des = build_mpc_problem(cfg, dtype)
+    ticks_per_mpc = int(round(cfg.update_dt / DT_SIM))
+    n_periods = int(round(tf / cfg.update_dt))
+
+    state0 = initial_state(prob, x_des, opts, dtype)
+
+    def period(carry, k):
+        state = carry
+        t = k.astype(dtype) * cfg.update_dt
+
+        # MPC: reference, horizon schedule, solve
+        x_ref = jnp.tile(x_des, (cfg.N, 1))  # reference_trajectory!
+        rot = mrp_rotation(state.x[3:6])
+        feet_b = jnp.einsum("ji,kj->ki", rot,
+                            state.feet_w - state.x[0:3][None, :])
+        contacts, foot_locs, planner_fl = planner.foot_history(
+            t, x_ref, feet_b, state.planner_foot_loc, gait, x_des, cfg.N,
+            cfg.dynamics_discretization)
+        forces, U_new, duals, iters, status = mpc_solve_forces(
+            backend, prob, opts, state.x, x_ref, contacts, foot_locs,
+            cfg.dynamics_discretization, state.U_prev, state.duals)
+        state = state.replace(forces=forces, U_prev=U_new, duals=duals,
+                              planner_foot_loc=planner_fl)
+
+        def tick(s, j):
+            tj = t + j.astype(dtype) * DT_SIM
+            s, torques = control_tick(s, tj, gait, cfg, x_des)
+            return s, None
+
+        state, _ = jax.lax.scan(tick, state, jnp.arange(ticks_per_mpc))
+        rec = (state.x, forces, iters, status)
+        return state, rec
+
+    state, (xs, forces, iters, status) = jax.lax.scan(
+        period, state0, jnp.arange(n_periods))
+    return dict(x=xs, forces=forces, iters=iters, status=status)

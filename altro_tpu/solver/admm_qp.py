@@ -5,15 +5,21 @@ flexible-satellite, quadruped QP baselines; setup/update/warm-start API at
 random_linear_problem.jl:68-76,149-157): an on-TPU lockstep cross-check
 oracle and baseline timing target. Same algorithm family as OSQP:
 
-    (P + sigma I + A' R A) ztil = sigma z - q + A'(R zc - y)
-    zc+  = clip(alpha A ztil + (1-alpha) zc + y / R, l, u)
-    y+   = y + R (alpha A ztil + (1-alpha) zc - zc+)
+- modified Ruiz equilibration (D/E diagonal scalings + cost scaling c),
+  essential for badly-scaled problems like the quadruped MPC QP
+  (state weights 5e3 against control weights 1e-3)
+- splitting iteration with per-row penalty R (equality rows, l == u, get
+  rho * RHO_EQ_SCALE as in OSQP):
 
-with per-row penalty R (equality rows, l == u, get rho * RHO_EQ_SCALE as in
-OSQP). The KKT matrix is factored once (dense Cholesky — fine for the
-reference's problem sizes, NN <= ~2k) and reused across iterations and MPC
-steps; the solve loop is a bounded ``lax.while_loop`` with residual-based
-termination, fully jit/vmap-safe.
+    (P + sigma I + A' R A) xt = sigma x - q + A'(R z - y)
+    z+ = clip(alpha A xt + (1-alpha) z + y / R, l, u)
+    y+ = y + R (alpha A xt + (1-alpha) z - z+)
+
+- termination on UNSCALED residuals
+
+The KKT matrix is factored once (dense Cholesky — fine for the reference's
+problem sizes, NN <= ~2k) and reused across iterations and MPC steps; the
+solve loop is a bounded ``lax.while_loop``, fully jit/vmap-safe.
 """
 from __future__ import annotations
 
@@ -32,16 +38,19 @@ RHO_EQ_SCALE = 1e3
 class ADMMQPWork:
     """Factored workspace (reusable across solves while P, A, rho fixed)."""
 
-    qp: BatchQP
-    chol: jnp.ndarray      # Cholesky factor of P + sigma I + A' R A
-    rho_vec: jnp.ndarray   # [M]
+    qp: BatchQP            # original (unscaled) problem
+    chol: jnp.ndarray      # Cholesky of scaled P + sigma I + A' R A
+    rho_vec: jnp.ndarray   # [M] penalties (scaled space)
     sigma: jnp.ndarray
     alpha: jnp.ndarray
+    D: jnp.ndarray         # [NN] variable scaling
+    E: jnp.ndarray         # [M] constraint scaling
+    c: jnp.ndarray         # cost scaling
 
 
 @struct.dataclass
 class ADMMQPSolution:
-    x: jnp.ndarray         # primal [NN]
+    x: jnp.ndarray         # primal [NN] (unscaled)
     z: jnp.ndarray         # Ax at solution [M]
     y: jnp.ndarray         # duals [M]
     iterations: jnp.ndarray
@@ -50,17 +59,53 @@ class ADMMQPSolution:
     status: jnp.ndarray    # 1 converged
 
 
+def _ruiz(P, q, A, iters: int = 10):
+    """Modified Ruiz equilibration (the OSQP scaling strategy)."""
+    NN = P.shape[0]
+    M = A.shape[0]
+    dtype = P.dtype
+    D = jnp.ones(NN, dtype)
+    E = jnp.ones(M, dtype)
+    c = jnp.ones((), dtype)
+
+    def body(_, carry):
+        D, E, c = carry
+        Ps = c * (D[:, None] * P * D[None, :])
+        As = E[:, None] * A * D[None, :]
+        col_norm = jnp.maximum(jnp.max(jnp.abs(Ps), axis=0),
+                               jnp.max(jnp.abs(As), axis=0))
+        row_norm = jnp.max(jnp.abs(As), axis=1)
+        delta_d = 1.0 / jnp.sqrt(jnp.clip(col_norm, 1e-8, 1e8))
+        delta_e = 1.0 / jnp.sqrt(jnp.clip(row_norm, 1e-8, 1e8))
+        D = D * delta_d
+        E = E * delta_e
+        # cost normalization
+        Ps = c * (D[:, None] * P * D[None, :])
+        qs = c * (D * q)
+        gamma = 1.0 / jnp.clip(
+            jnp.maximum(jnp.mean(jnp.max(jnp.abs(Ps), axis=0)),
+                        jnp.max(jnp.abs(qs))), 1e-8, 1e8)
+        return D, E, c * gamma
+
+    D, E, c = jax.lax.fori_loop(0, iters, body, (D, E, c))
+    return D, E, c
+
+
 def setup(qp: BatchQP, rho: float = 0.1, sigma: float = 1e-6,
-          alpha: float = 1.6) -> ADMMQPWork:
+          alpha: float = 1.6, scaling_iters: int = 10) -> ADMMQPWork:
     dtype = qp.P.dtype
+    D, E, c = _ruiz(qp.P, qp.q, qp.A, scaling_iters)
+    Ps = c * (D[:, None] * qp.P * D[None, :])
+    As = E[:, None] * qp.A * D[None, :]
+
     eq = jnp.isclose(qp.l, qp.u)
     rho_vec = jnp.where(eq, rho * RHO_EQ_SCALE, rho).astype(dtype)
-    K = qp.P + sigma * jnp.eye(qp.num_vars, dtype=dtype) \
-        + qp.A.T @ (rho_vec[:, None] * qp.A)
+    K = Ps + sigma * jnp.eye(qp.num_vars, dtype=dtype) \
+        + As.T @ (rho_vec[:, None] * As)
     chol = jax.scipy.linalg.cholesky(K, lower=True)
     return ADMMQPWork(qp=qp, chol=chol, rho_vec=rho_vec,
                       sigma=jnp.asarray(sigma, dtype),
-                      alpha=jnp.asarray(alpha, dtype))
+                      alpha=jnp.asarray(alpha, dtype), D=D, E=E, c=c)
 
 
 def update(work: ADMMQPWork, q=None, l=None, u=None) -> ADMMQPWork:
@@ -72,44 +117,100 @@ def update(work: ADMMQPWork, q=None, l=None, u=None) -> ADMMQPWork:
     return work.replace(qp=qp)
 
 
+CHUNK = 25  # ADMM iterations between residual checks / rho adaptations
+
+
 def solve(work: ADMMQPWork, x0: Optional[jnp.ndarray] = None,
           y0: Optional[jnp.ndarray] = None, eps_abs: float = 1e-5,
-          max_iter: int = 4000, check_every: int = 1) -> ADMMQPSolution:
+          max_iter: int = 4000) -> ADMMQPSolution:
     qp = work.qp
     dtype = qp.P.dtype
+    D, E, c = work.D, work.E, work.c
     NN, M = qp.num_vars, qp.A.shape[0]
-    x = jnp.zeros(NN, dtype) if x0 is None else x0
-    y = jnp.zeros(M, dtype) if y0 is None else y0
-    z = jnp.clip(qp.A @ x, qp.l, qp.u)
-    rho = work.rho_vec
+
+    # scaled data
+    Ps = c * (D[:, None] * qp.P * D[None, :])
+    qs = c * (D * qp.q)
+    As = E[:, None] * qp.A * D[None, :]
+    ls = E * qp.l
+    us = E * qp.u
+    eq = jnp.isclose(qp.l, qp.u)
+    eye = jnp.eye(NN, dtype=dtype)
+
+    # warm starts map into scaled space
+    x = jnp.zeros(NN, dtype) if x0 is None else x0 / D
+    y = jnp.zeros(M, dtype) if y0 is None else (c / E) * y0
+    z = jnp.clip(As @ x, ls, us)
     inf = jnp.asarray(jnp.inf, dtype)
 
+    def rho_vec_of(rho):
+        return jnp.where(eq, rho * RHO_EQ_SCALE, rho)
+
+    def factor(rho):
+        K = Ps + work.sigma * eye + As.T @ (rho_vec_of(rho)[:, None] * As)
+        return jax.scipy.linalg.cholesky(K, lower=True)
+
+    def unscaled_residuals(x, z, y):
+        xu = D * x
+        zu = z / E
+        yu = (E / c) * y
+        rp = jnp.max(jnp.abs(qp.A @ xu - zu))
+        rd = jnp.max(jnp.abs(qp.P @ xu + qp.q + qp.A.T @ yu))
+        return rp, rd
+
     def cond(s):
-        x, z, y, it, rp, rd, done = s
+        x, z, y, rho, chol, it, rp, rd, done = s
         return (~done) & (it < max_iter)
 
     def body(s):
-        x, z, y, it, rp, rd, done = s
-        rhs = work.sigma * x - qp.q + qp.A.T @ (rho * z - y)
-        xt = jax.scipy.linalg.cho_solve((work.chol, True), rhs)
-        Axt = qp.A @ xt
-        x_n = work.alpha * xt + (1 - work.alpha) * x
-        z_hat = work.alpha * Axt + (1 - work.alpha) * z
-        z_n = jnp.clip(z_hat + y / rho, qp.l, qp.u)
-        y_n = y + rho * (z_hat - z_n)
+        x, z, y, rho, chol, it, rp, rd, done = s
+        rho_vec = rho_vec_of(rho)
 
-        Ax = qp.A @ x_n
-        rp_n = jnp.max(jnp.abs(Ax - z_n))
-        rd_n = jnp.max(jnp.abs(qp.P @ x_n + qp.q + qp.A.T @ y_n))
+        def inner(_, xyz):
+            x, z, y = xyz
+            rhs = work.sigma * x - qs + As.T @ (rho_vec * z - y)
+            xt = jax.scipy.linalg.cho_solve((chol, True), rhs)
+            Axt = As @ xt
+            x_n = work.alpha * xt + (1 - work.alpha) * x
+            z_hat = work.alpha * Axt + (1 - work.alpha) * z
+            z_n = jnp.clip(z_hat + y / rho_vec, ls, us)
+            y_n = y + rho_vec * (z_hat - z_n)
+            return x_n, z_n, y_n
+
+        x_n, z_n, y_n = jax.lax.fori_loop(0, CHUNK, inner, (x, z, y))
+
+        rp_n, rd_n = unscaled_residuals(x_n, z_n, y_n)
         done_n = (rp_n < eps_abs) & (rd_n < eps_abs)
-        out = (x_n, z_n, y_n, it + 1, rp_n, rd_n, done_n)
+
+        # OSQP-style adaptive rho on relative scaled residuals, with
+        # refactorization when rho moves meaningfully.
+        Ax = As @ x_n
+        rp_rel = jnp.max(jnp.abs(Ax - z_n)) / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z_n))), 1e-10)
+        Px = Ps @ x_n
+        Aty = As.T @ y_n
+        rd_rel = jnp.max(jnp.abs(Px + qs + Aty)) / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px)),
+                        jnp.maximum(jnp.max(jnp.abs(Aty)),
+                                    jnp.max(jnp.abs(qs)))), 1e-10)
+        ratio = jnp.sqrt(rp_rel / jnp.maximum(rd_rel, 1e-16))
+        rho_prop = jnp.clip(rho * ratio, 1e-6, 1e6)
+        adapt = (~done_n) & ((rho_prop > 5.0 * rho) | (rho_prop < rho / 5.0))
+        rho_n = jnp.where(adapt, rho_prop, rho)
+        chol_n = jax.lax.cond(adapt, factor, lambda _: chol, rho_n)
+
+        out = (x_n, z_n, y_n, rho_n, chol_n, it + CHUNK, rp_n, rd_n, done_n)
         return jax.tree_util.tree_map(
             lambda a, b: jnp.where(done, a, b), s, out)
 
-    s0 = (x, z, y, jnp.zeros((), jnp.int32), inf, inf, jnp.zeros((), bool))
-    x, z, y, it, rp, rd, done = jax.lax.while_loop(cond, body, s0)
-    return ADMMQPSolution(x=x, z=z, y=y, iterations=it, r_prim=rp, r_dual=rd,
-                          status=done.astype(jnp.int32))
+    rho0 = jnp.asarray(work.rho_vec[jnp.argmin(eq.astype(jnp.int32))]
+                       if M else 0.1, dtype)
+    rho0 = jnp.where(jnp.all(eq), work.rho_vec[0] / RHO_EQ_SCALE, rho0)
+    s0 = (x, z, y, rho0, work.chol, jnp.zeros((), jnp.int32), inf, inf,
+          jnp.zeros((), bool))
+    x, z, y, rho, chol, it, rp, rd, done = jax.lax.while_loop(cond, body, s0)
+    return ADMMQPSolution(x=D * x, z=z / E, y=(E / c) * y, iterations=it,
+                          r_prim=rp, r_dual=rd, status=done.astype(jnp.int32))
 
 
 def extract_traj(qp: BatchQP, x):
