@@ -96,19 +96,18 @@ class MPCResults:
     x0: jnp.ndarray          # [T, n] noisy initial states
 
 
-def run_mpc(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
-            noise, start_k: int = 0, noise_model=default_noise_model,
-            constraints_fn=None) -> MPCResults:
-    """Closed-loop ALTRO MPC tracking (X_track, U_track).
+def make_mpc_step(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
+                  noise_model=default_noise_model, constraints_fn=None):
+    """Build the single warm-started MPC step as a jittable function
+    ``step(carry, noise_i) -> (carry, MPCResults)``.
 
-    ``noise`` is [T, n] standard-normal; ``noise_model(x_prop, noise_i)``
-    maps it to the perturbed initial state (default: 1% inf-norm noise).
-    Returns stacked per-step results.
+    Exposed separately from :func:`run_mpc` because driving the step from the
+    host (jit the step, loop in Python) keeps the compiled program small —
+    wrapping the full loop in ``lax.scan`` is fine on CPU but makes the TPU
+    toolchain's compile time blow up on scan-of-while-of-while programs.
     """
     N = prob_mpc.N
     dyn = prob_mpc.dynamics
-
-    sol0 = solve(prob_mpc, opts)
 
     def step(carry, noise_i):
         x0, U, duals, k = carry
@@ -133,8 +132,25 @@ def run_mpc(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
                          x0=x0_new)
         return (x0_new, sol.U, sol.duals, k_new), out
 
-    carry0 = (prob_mpc.x0, sol0.U, sol0.duals, jnp.asarray(start_k))
-    _, results = jax.lax.scan(step, carry0, noise)
+    def init_carry(start_k: int = 0):
+        sol0 = solve(prob_mpc, opts)
+        return (prob_mpc.x0, sol0.U, sol0.duals, jnp.asarray(start_k))
+
+    return step, init_carry
+
+
+def run_mpc(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
+            noise, start_k: int = 0, noise_model=default_noise_model,
+            constraints_fn=None) -> MPCResults:
+    """Closed-loop ALTRO MPC tracking (X_track, U_track).
+
+    ``noise`` is [T, n] standard-normal; ``noise_model(x_prop, noise_i)``
+    maps it to the perturbed initial state (default: 1% inf-norm noise).
+    Returns stacked per-step results.
+    """
+    step, init_carry = make_mpc_step(prob_mpc, opts, X_track, U_track,
+                                     noise_model, constraints_fn)
+    _, results = jax.lax.scan(step, init_carry(start_k), noise)
     return results
 
 
