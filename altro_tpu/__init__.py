@@ -11,6 +11,7 @@ from .cones import Cone
 from .constraints import (
     ConicConstraint,
     DualState,
+    QuadNormConstraint,
     bound_constraint,
     friction_cone,
     goal_constraint,
@@ -18,6 +19,7 @@ from .constraints import (
     linearized_friction,
     norm_constraint,
     norm_constraint2,
+    quad_norm_constraint,
 )
 from .costs import QuadCost, lqr_objective, retarget_tracking, tracking_objective
 from .dynamics import (

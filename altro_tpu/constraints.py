@@ -64,6 +64,17 @@ class ConicConstraint:
         return (jnp.einsum("kpn,kn->kp", self.Cx, X)
                 + jnp.einsum("kpm,km->kp", self.Cu, Upad) + self.b)
 
+    def jacobians(self, X, U):
+        """(Cx [N,p,n], Cu [N,p,m]) at the linearization point — constant
+        for affine blocks. Part of the constraint-block protocol shared with
+        nonlinear blocks like :class:`QuadNormConstraint`."""
+        del X, U
+        return self.Cx, self.Cu
+
+    @property
+    def is_affine(self) -> bool:
+        return True
+
     def violations(self, X, U):
         """[N, p] infeasibility (c - proj_K(c)), zeroed at inactive knots."""
         c = self.evaluate(X, U)
@@ -71,6 +82,109 @@ class ConicConstraint:
 
     def max_violation(self, X, U):
         return jnp.max(jnp.abs(self.violations(X, U)))
+
+
+@struct.dataclass
+class QuadNormConstraint:
+    """Nonlinear (quadratic) norm constraint: ||A z||^2 <= (c'z + offset)^2,
+    one NONPOS row per knot.
+
+    The nonconvex "naive" counterpart of the SOC norm constraints, used for
+    the reference's SOC-vs-Inequality rocket comparison (``contype`` switch,
+    rocket_landing_problem.jl:61,123; run_simple_rocket.jl:72-102). The AL
+    machinery consumes it through the same block protocol as
+    :class:`ConicConstraint` (evaluate/jacobians re-evaluated at the current
+    iterate), so the solver needs no special casing.
+    """
+
+    A: jnp.ndarray       # [N, p_rows, dim]
+    c: jnp.ndarray       # [N, dim]
+    offset: jnp.ndarray  # [N]
+    mask: jnp.ndarray    # [N]
+    on: str = struct.field(pytree_node=False, default="control")
+    name: str = struct.field(pytree_node=False, default="quad_norm")
+
+    cone: Cone = struct.field(pytree_node=False, default=Cone.NONPOS)
+
+    @property
+    def N(self) -> int:
+        return self.A.shape[0]
+
+    @property
+    def p(self) -> int:
+        return 1
+
+    @property
+    def is_affine(self) -> bool:
+        return False
+
+    def _z(self, X, U):
+        Upad = jnp.concatenate([U, jnp.zeros_like(U[:1])], axis=0)
+        return Upad if self.on == "control" else X
+
+    def evaluate(self, X, U):
+        z = self._z(X, U)
+        Az = jnp.einsum("kpd,kd->kp", self.A, z)
+        lin = jnp.einsum("kd,kd->k", self.c, z) + self.offset
+        return (jnp.sum(Az * Az, axis=-1) - lin * lin)[:, None]
+
+    def jacobians(self, X, U):
+        z = self._z(X, U)
+        Az = jnp.einsum("kpd,kd->kp", self.A, z)
+        lin = jnp.einsum("kd,kd->k", self.c, z) + self.offset
+        g = 2.0 * jnp.einsum("kp,kpd->kd", Az, self.A) \
+            - 2.0 * lin[:, None] * self.c                     # [N, dim]
+        N = self.N
+        dim = self.A.shape[-1]
+        zero_x = jnp.zeros((N, 1, X.shape[-1]), X.dtype)
+        zero_u = jnp.zeros((N, 1, U.shape[-1]), U.dtype)
+        if self.on == "control":
+            return zero_x, g[:, None, :]
+        return g[:, None, :], zero_u
+
+    def violations(self, X, U):
+        from .cones import violation as _viol
+        return _viol(self.cone, self.evaluate(X, U)) * self.mask[:, None]
+
+    def max_violation(self, X, U):
+        return jnp.max(jnp.abs(self.violations(X, U)))
+
+    def second_order(self, X, U, g):
+        """Multiplier-weighted constraint Hessian g_k * d2c_k (exact; the
+        Hessian is the constant 2 A'A - 2 c c', possibly indefinite — that is
+        the nonconvexity the 'naive' comparison exists to exhibit).
+
+        Returns (Hxx [N,n,n], Huu [N,m,m], Hux [N,m,n])."""
+        H = 2.0 * jnp.einsum("kpi,kpj->kij", self.A, self.A) \
+            - 2.0 * jnp.einsum("ki,kj->kij", self.c, self.c)
+        Hw = g[:, 0, None, None] * H
+        N = self.N
+        n = X.shape[-1]
+        m = U.shape[-1]
+        zxx = jnp.zeros((N, n, n), X.dtype)
+        zuu = jnp.zeros((N, m, m), X.dtype)
+        zux = jnp.zeros((N, m, n), X.dtype)
+        if self.on == "control":
+            return zxx, Hw, zux
+        return Hw, zuu, zux
+
+
+def quad_norm_constraint(N: int, n: int, m: int, A, c=None, offset=0.0,
+                         on: str = "control", start: int = 0,
+                         stop: Optional[int] = None,
+                         dtype=jnp.float64) -> QuadNormConstraint:
+    """Builder for :class:`QuadNormConstraint`; A/c broadcast over knots."""
+    A = jnp.asarray(A, dtype)
+    if A.ndim == 2:
+        A = jnp.broadcast_to(A, (N,) + A.shape)
+    dim = A.shape[-1]
+    c = jnp.zeros(dim, dtype) if c is None else jnp.asarray(c, dtype)
+    if c.ndim == 1:
+        c = jnp.broadcast_to(c, (N, dim))
+    stop = N - 1 if stop is None else stop
+    return QuadNormConstraint(
+        A=A, c=c, offset=jnp.full((N,), offset, dtype),
+        mask=_range_mask(N, start, stop, dtype), on=on)
 
 
 # ----------------------------------------------------------------------------

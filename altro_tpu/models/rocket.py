@@ -15,7 +15,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..constraints import goal_constraint, norm_constraint, norm_constraint2
+from ..constraints import (goal_constraint, norm_constraint, norm_constraint2,
+                           quad_norm_constraint)
 from ..costs import lqr_objective
 from ..dynamics import lti_dynamics, zoh_discretize
 from ..problem import Problem
@@ -54,6 +55,7 @@ def rocket_problem(N: int = 301, tf: float = 15.0, *,
                    glide_recover_k: int = 8, include_goal: bool = True,
                    include_thrust_angle: bool = True,
                    include_glideslope: bool = True,
+                   conic: bool = True,
                    dtype=jnp.float64) -> Problem:
     """n=6, m=3 soft-landing problem (rocket_landing_problem.jl:44-190;
     driver values run_simple_rocket.jl:31-63: N=301, dt=0.05, theta=5 deg,
@@ -76,24 +78,42 @@ def rocket_problem(N: int = 301, tf: float = 15.0, *,
     if include_goal:
         cons.append(goal_constraint(N, n, m, xf, dtype=dtype))
 
-    # Max thrust: ||u|| <= mass * |g_z| * perWeightMax (SOC)
+    # ``conic`` switches SOC constraints to their nonconvex quadratic
+    # counterparts (the reference's ``contype`` Inequality comparison,
+    # rocket_landing_problem.jl:61; run_simple_rocket.jl:72-102).
     u_bnd = mass * abs(float(g[2])) * per_weight_max
-    cons.append(norm_constraint(N, n, m, u_bnd, on="control", dtype=dtype))
+    if conic:
+        cons.append(norm_constraint(N, n, m, u_bnd, on="control", dtype=dtype))
+    else:
+        cons.append(quad_norm_constraint(N, n, m, jnp.eye(3, dtype=dtype),
+                                         offset=u_bnd, on="control",
+                                         dtype=dtype))
 
     if include_thrust_angle:
         alpha = jnp.tan(jnp.deg2rad(jnp.asarray(theta_thrust_max, dtype)))
         A_ang = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 0]], dtype)
         c_ang = jnp.array([0.0, 0.0, 1.0], dtype) * alpha
-        cons.append(norm_constraint2(N, n, m, A_ang, c_ang, on="control",
-                                     dtype=dtype))
+        if conic:
+            cons.append(norm_constraint2(N, n, m, A_ang, c_ang, on="control",
+                                         dtype=dtype))
+        else:
+            cons.append(quad_norm_constraint(N, n, m, A_ang, c=c_ang,
+                                             on="control", dtype=dtype))
 
     if include_glideslope:
         alpha_g = jnp.tan(jnp.deg2rad(jnp.asarray(theta_glideslope, dtype)))
         A_gs = jnp.zeros((6, 6), dtype).at[0, 0].set(1.0).at[1, 1].set(1.0)
         c_gs = jnp.zeros(6, dtype).at[2].set(alpha_g)
         # active from knot glide_recover_k (1-indexed in the reference) to N-1
-        cons.append(norm_constraint2(N, n, m, A_gs, c_gs, on="state",
-                                     start=glide_recover_k - 1, dtype=dtype))
+        if conic:
+            cons.append(norm_constraint2(N, n, m, A_gs, c_gs, on="state",
+                                         start=glide_recover_k - 1,
+                                         dtype=dtype))
+        else:
+            cons.append(quad_norm_constraint(N, n, m, A_gs, c=c_gs,
+                                             on="state",
+                                             start=glide_recover_k - 1,
+                                             dtype=dtype))
 
     return Problem(dynamics=dyn, cost=cost, constraints=tuple(cons), x0=x0)
 

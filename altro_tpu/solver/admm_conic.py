@@ -89,7 +89,14 @@ def update(work: ADMMConicWork, q=None, b=None) -> ADMMConicWork:
     return work.replace(prob=p)
 
 
-def solve(work: ADMMConicWork, x0: Optional[jnp.ndarray] = None,
+def solve(work, x0=None, y0=None, **kw):
+    """Precision-pinned entry point (TPU bf16 matmul passes stall
+    ADMM convergence; full f32 is faster end-to-end)."""
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(work, x0=x0, y0=y0, **kw)
+
+
+def _solve_impl(work: ADMMConicWork, x0: Optional[jnp.ndarray] = None,
           y0: Optional[jnp.ndarray] = None, eps_abs: float = 1e-6,
           max_iter: int = 20000) -> ADMMConicSolution:
     p = work.prob

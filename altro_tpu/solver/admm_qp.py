@@ -120,7 +120,14 @@ def update(work: ADMMQPWork, q=None, l=None, u=None) -> ADMMQPWork:
 CHUNK = 25  # ADMM iterations between residual checks / rho adaptations
 
 
-def solve(work: ADMMQPWork, x0: Optional[jnp.ndarray] = None,
+def solve(work, x0=None, y0=None, **kw):
+    """Precision-pinned entry point (TPU bf16 matmul passes stall
+    ADMM convergence; full f32 is faster end-to-end)."""
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(work, x0=x0, y0=y0, **kw)
+
+
+def _solve_impl(work: ADMMQPWork, x0: Optional[jnp.ndarray] = None,
           y0: Optional[jnp.ndarray] = None, eps_abs: float = 1e-5,
           max_iter: int = 4000) -> ADMMQPSolution:
     qp = work.qp

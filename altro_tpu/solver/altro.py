@@ -74,11 +74,19 @@ def al_expansion(prob: Problem, duals, X, U):
     lx, lu, lxx, luu, lux = prob.cost.expansion(X, U)
     for con, dual in zip(prob.constraints, duals):
         _, g, Hc = al_terms(con, dual, X, U)
-        lx = lx + jnp.einsum("kpn,kp->kn", con.Cx, g)
-        lu = lu + jnp.einsum("kpm,kp->km", con.Cu, g)
-        lxx = lxx + jnp.einsum("kpi,kpq,kqj->kij", con.Cx, Hc, con.Cx)
-        luu = luu + jnp.einsum("kpi,kpq,kqj->kij", con.Cu, Hc, con.Cu)
-        lux = lux + jnp.einsum("kpi,kpq,kqj->kij", con.Cu, Hc, con.Cx)
+        Cx, Cu = con.jacobians(X, U)  # constants for affine blocks
+        lx = lx + jnp.einsum("kpn,kp->kn", Cx, g)
+        lu = lu + jnp.einsum("kpm,kp->km", Cu, g)
+        lxx = lxx + jnp.einsum("kpi,kpq,kqj->kij", Cx, Hc, Cx)
+        luu = luu + jnp.einsum("kpi,kpq,kqj->kij", Cu, Hc, Cu)
+        lux = lux + jnp.einsum("kpi,kpq,kqj->kij", Cu, Hc, Cx)
+        if not con.is_affine:
+            # exact multiplier-weighted constraint curvature (full Newton on
+            # the AL for nonlinear blocks; affine blocks contribute none)
+            Hxx, Huu, Hux = con.second_order(X, U, g)
+            lxx = lxx + Hxx
+            luu = luu + Huu
+            lux = lux + Hux
     return lx, lu, lxx, luu, lux
 
 
@@ -180,7 +188,19 @@ def solve(prob: Problem, opts: SolverOptions,
     multipliers) from the previous MPC solve; states are re-derived by an
     open-loop rollout from ``prob.x0`` (parity with Altro's ``rollout!`` on
     warm-started solves).
+
+    All matmuls run at HIGHEST precision: on TPU the default bf16 passes
+    inflate warm-start iteration counts ~9x (measured 21.9 vs 2.2) and cost
+    ~20x wall time for tolerance-1e-4 solves — full f32 is strictly faster
+    here.
     """
+    with jax.default_matmul_precision("highest"):
+        return _solve(prob, opts, U0, duals)
+
+
+def _solve(prob: Problem, opts: SolverOptions,
+           U0: Optional[jnp.ndarray],
+           duals: Optional[Tuple[DualState, ...]]) -> Solution:
     dtype = prob.x0.dtype
     N, n, m = prob.N, prob.n, prob.m
     if U0 is None:

@@ -134,6 +134,9 @@ def _dynamics_rows(prob: Problem):
 def _constraint_rows(con, N, n, m):
     """Stack one block's rows knot-major: M [N*p, NN], v [N*p] such that the
     residual is M z + v, with masked knots zeroed."""
+    if not getattr(con, "is_affine", True):
+        raise TypeError(f"constraint block {con.name!r} is nonlinear; batch "
+                        "QP/conic transcription requires affine blocks")
     p = con.p
     NN = N * n + (N - 1) * m
     dtype = con.b.dtype
