@@ -105,6 +105,40 @@ class MPCConfig:
     r: tuple = (1.0, 1.0, 0.001) * 4
 
 
+def mpc_config_from_yaml(path: str) -> "MPCConfig":
+    """Load controller config from a YAML file (parity with MPC.yaml /
+    ControllerParams.jl:45-181; the reference notebook switches solvers by
+    rewriting that file)."""
+    import yaml
+    with open(path) as f:
+        d = yaml.safe_load(f)
+    gait = d.get("gait", {})
+    swing = d.get("swing", {})
+    return MPCConfig(
+        N=d.get("N", 15),
+        dynamics_discretization=d.get("dynamics_discretization", 0.03),
+        update_dt=d.get("update_dt", 0.03),
+        footstep_replan=d.get("footstep_replan", 0.005),
+        mu=d.get("mu", 0.5),
+        min_vert_force=d.get("min_vert_force", 0.0),
+        max_vert_force=d.get("max_vert_force", 133.0),
+        stance_height=d.get("stance_height", 0.28),
+        gait_type=gait.get("type", "trot"),
+        stance_time=gait.get("stance_time", 0.2),
+        swing_time=gait.get("swing_time", 0.2),
+        linearized_friction=d.get("linearized_friction_constraint", True),
+        solver=d.get("solver", "ALTRO"),
+        xy_vel=tuple(d.get("xy_vel", (0.0, 0.0))),
+        omega_z=d.get("omega_z", 0.0),
+        yaw_angle=d.get("yaw_angle", 0.0),
+        swing_omega=swing.get("omega", 100.0),
+        swing_zeta=swing.get("zeta", 1.0),
+        step_height=swing.get("step_height", 0.05),
+        q=tuple(d["q"]) if "q" in d else MPCConfig.q,
+        r=tuple(d["r"]) if "r" in d else MPCConfig.r,
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class WooferConfig:
     inertial: InertialConfig = dataclasses.field(default_factory=InertialConfig)

@@ -36,63 +36,23 @@ def riccati_supported(n: int, m: int, batch: int) -> bool:
     return n <= 64 and m <= 64 and batch % 128 == 0
 
 
-def _matmul(A, B, k):
-    """C[i, j, :] = sum_p A[i, p, :] B[p, j, :]; unrolled over the (small)
-    contraction dim — k vector FMAs of full lane width."""
-    acc = A[:, 0, None, :] * B[None, 0, :, :]
-    for p in range(1, k):
-        acc = acc + A[:, p, None, :] * B[None, p, :, :]
-    return acc
+# All small-matrix algebra below works on row-slabs ([cols, Bb] arrays) and
+# [Bb]-wide vectors with explicit python indexing. Mosaic's TPU lowering
+# rejects >2D transposes / stacks / concats (they become gathers), so
+# transposition is done by swapping loop indices and nothing is ever
+# concatenated inside the kernel.
+
+def _mm_nn(A, B, r, k):
+    """C = A @ B; A, B as lists of row slabs [*, Bb]. Returns row slabs.
+
+    Note the static ``p:p+1`` slices: mixed integer+newaxis indexing lowers
+    to a gather, which Mosaic rejects for these shapes."""
+    return [sum(A[i][p:p + 1, :] * B[p] for p in range(k)) for i in range(r)]
 
 
-def _matvec(A, x, k):
-    acc = A[:, 0, :] * x[None, 0, :]
-    for p in range(1, k):
-        acc = acc + A[:, p, :] * x[None, p, :]
-    return acc
-
-
-def _t(A):
-    return A.transpose(1, 0, 2)
-
-
-def _chol_factor(M, m, eps):
-    """Lane-wise Cholesky of [m, m, Bb]; returns lower factor as lists."""
-    L = [[None] * m for _ in range(m)]
-    for j in range(m):
-        d = M[j, j, :]
-        for p in range(j):
-            d = d - L[j][p] * L[j][p]
-        Ljj = jnp.sqrt(jnp.maximum(d, eps))
-        L[j][j] = Ljj
-        inv = 1.0 / Ljj
-        for i in range(j + 1, m):
-            s = M[i, j, :]
-            for p in range(j):
-                s = s - L[i][p] * L[j][p]
-            L[i][j] = s * inv
-    return L
-
-
-def _chol_solve_cols(L, R, m, ncols):
-    """Solve L L' X = R for R of shape [m, ncols, Bb]."""
-    t = [[None] * ncols for _ in range(m)]
-    for i in range(m):
-        inv = 1.0 / L[i][i]
-        for c in range(ncols):
-            s = R[i, c, :]
-            for p in range(i):
-                s = s - L[i][p] * t[p][c]
-            t[i][c] = s * inv
-    x = [[None] * ncols for _ in range(m)]
-    for i in range(m - 1, -1, -1):
-        inv = 1.0 / L[i][i]
-        for c in range(ncols):
-            s = t[i][c]
-            for p in range(i + 1, m):
-                s = s - L[p][i] * x[p][c]
-            x[i][c] = s * inv
-    return jnp.stack([jnp.stack(row, axis=0) for row in x], axis=0)
+def _mm_tn(A, B, r, k):
+    """C = A' @ B; A as list of k row slabs of width r."""
+    return [sum(A[p][i:i + 1, :] * B[p] for p in range(k)) for i in range(r)]
 
 
 def _kernel(n: int, m: int, N1: int, A_ref, B_ref, lx_ref, lu_ref, lxx_ref,
@@ -107,47 +67,89 @@ def _kernel(n: int, m: int, N1: int, A_ref, B_ref, lx_ref, lu_ref, lxx_ref,
         Vx_ref[:] = lx_ref[0, 1]
         dVacc_ref[:] = jnp.zeros_like(dVacc_ref)
 
-    A = A_ref[0]            # [n, n, Bb]
-    Bm = B_ref[0]           # [n, m, Bb]
-    lx = lx_ref[0, 0]       # [n, Bb]
-    lu = lu_ref[0]          # [m, Bb]
-    lxx = lxx_ref[0, 0]     # [n, n, Bb]
-    luu = luu_ref[0]        # [m, m, Bb]
-    lux = lux_ref[0]        # [m, n, Bb]
-    reg = reg_ref[0]        # [Bb]
-    Vxx = Vxx_ref[:]
-    Vx = Vx_ref[:]
+    A = [A_ref[0, i] for i in range(n)]     # n row slabs [n, Bb]
+    Bm = [B_ref[0, i] for i in range(n)]    # n row slabs [m, Bb]
+    lx = lx_ref[0, 0]                       # [n, Bb]
+    lu = lu_ref[0]                          # [m, Bb]
+    lxx = [lxx_ref[0, 0, i] for i in range(n)]
+    luu = [luu_ref[0, i] for i in range(m)]
+    lux = [lux_ref[0, i] for i in range(m)]
+    reg = reg_ref[0]                        # [Bb]
+    Vxx = [Vxx_ref[i] for i in range(n)]
+    Vx = Vx_ref[:]                          # [n, Bb]
 
-    VA = _matmul(Vxx, A, n)
-    Qx = lx + _matvec(_t(A), Vx, n)
-    Qu = lu + _matvec(_t(Bm), Vx, n)
-    Qxx = lxx + _matmul(_t(A), VA, n)
-    Quu = luu + _matmul(_t(Bm), _matmul(Vxx, Bm, n), n)
-    Qux = lux + _matmul(_t(Bm), VA, n)
+    VA = _mm_nn(Vxx, A, n, n)               # n row slabs [n, Bb]
+    VB = _mm_nn(Vxx, Bm, n, n)              # n row slabs [m, Bb]
+    Qxx = [lxx[i] + r for i, r in enumerate(_mm_tn(A, VA, n, n))]
+    Quu = [luu[i] + r for i, r in enumerate(_mm_tn(Bm, VB, m, n))]
+    Qux = [lux[i] + r for i, r in enumerate(_mm_tn(Bm, VA, m, n))]
+    # Qx/Qu as lists of [Bb] vectors
+    Qx = [lx[i, :] + sum(A[p][i, :] * Vx[p, :] for p in range(n))
+          for i in range(n)]
+    Qu = [lu[i, :] + sum(Bm[p][i, :] * Vx[p, :] for p in range(n))
+          for i in range(m)]
 
-    Quu_reg = Quu + jnp.eye(m, dtype=Quu.dtype)[:, :, None] * reg[None, None, :]
-    L = _chol_factor(Quu_reg, m, 1e-12)
-    rhs = jnp.concatenate([Qux, Qu[:, None, :]], axis=1)  # [m, n+1, Bb]
-    sol = _chol_solve_cols(L, rhs, m, n + 1)
-    Kk = -sol[:, :n, :]
-    dk = -sol[:, n, :]
+    # lane-wise Cholesky of Quu + reg I
+    L = [[None] * m for _ in range(m)]
+    for j in range(m):
+        dgj = Quu[j][j, :] + reg
+        for p in range(j):
+            dgj = dgj - L[j][p] * L[j][p]
+        Ljj = jnp.sqrt(jnp.maximum(dgj, 1e-12))
+        L[j][j] = Ljj
+        for i in range(j + 1, m):
+            s = Quu[i][j, :]
+            for p in range(j):
+                s = s - L[i][p] * L[j][p]
+            L[i][j] = s / Ljj
 
-    K_ref[0] = Kk
-    d_ref[0] = dk
+    def chol_solve(b):  # b: list of m [Bb] vectors
+        t = [None] * m
+        for i in range(m):
+            s = b[i]
+            for p in range(i):
+                s = s - L[i][p] * t[p]
+            t[i] = s / L[i][i]
+        x = [None] * m
+        for i in range(m - 1, -1, -1):
+            s = t[i]
+            for p in range(i + 1, m):
+                s = s - L[p][i] * x[p]
+            x[i] = s / L[i][i]
+        return x
 
-    QuuK = _matmul(Quu, Kk, m)                    # [m, n, Bb]
-    Quud = _matvec(Quu, dk, m)                    # [m, Bb]
-    Vx_new = Qx + _matvec(_t(Kk), Quud, m) + _matvec(_t(Kk), Qu, m) \
-        + _matvec(_t(Qux), dk, m)
-    KtQux = _matmul(_t(Kk), Qux, m)
-    Vxx_new = Qxx + _matmul(_t(Kk), QuuK, m) + KtQux + _t(KtQux)
-    Vxx_new = 0.5 * (Vxx_new + _t(Vxx_new))
+    # K columns: solve for each column j of Qux, then d from Qu
+    Kc = [chol_solve([-Qux[i][j, :] for i in range(m)]) for j in range(n)]
+    dk = chol_solve([-Qu[i] for i in range(m)])
+    for i in range(m):
+        for j in range(n):
+            K_ref[0, i, j, :] = Kc[j][i]
+        d_ref[0, i, :] = dk[i]
 
-    Vx_ref[:] = Vx_new
-    Vxx_ref[:] = Vxx_new
+    Quud = [sum(Quu[i][p, :] * dk[p] for p in range(m)) for i in range(m)]
+    dVacc_ref[0, :] = dVacc_ref[0, :] + sum(dk[i] * Qu[i] for i in range(m))
+    dVacc_ref[1, :] = dVacc_ref[1, :] \
+        + 0.5 * sum(dk[i] * Quud[i] for i in range(m))
 
-    dVacc_ref[0, :] = dVacc_ref[0, :] + jnp.sum(dk * Qu, axis=0)
-    dVacc_ref[1, :] = dVacc_ref[1, :] + 0.5 * jnp.sum(dk * Quud, axis=0)
+    # Vx_new[i] = Qx + K'(Quu d + Qu) + Qux' d   (K[p][i] = Kc[i][p])
+    for i in range(n):
+        Vx_ref[i, :] = Qx[i] \
+            + sum(Kc[i][p] * (Quud[p] + Qu[p]) for p in range(m)) \
+            + sum(Qux[p][i, :] * dk[p] for p in range(m))
+
+    # Vxx_new = Qxx + K'QuuK + K'Qux + (K'Qux)'  — symmetric by construction
+    # QuuK[p][j] = sum_q Quu[p][q] Kc[j][q]
+    QuuK = [[sum(Quu[p][q, :] * Kc[j][q] for q in range(m)) for j in range(n)]
+            for p in range(m)]
+    for i in range(n):
+        for j in range(i, n):
+            ktquuk = sum(Kc[i][p] * QuuK[p][j] for p in range(m))
+            ktqux_ij = sum(Kc[i][p] * Qux[p][j, :] for p in range(m))
+            ktqux_ji = sum(Kc[j][p] * Qux[p][i, :] for p in range(m))
+            v = Qxx[i][j, :] + ktquuk + ktqux_ij + ktqux_ji
+            Vxx_ref[i, j, :] = v
+            if j != i:
+                Vxx_ref[j, i, :] = v
 
     @pl.when(k_rev == N1 - 1)
     def _flush():

@@ -94,7 +94,7 @@ def al_expansion(prob: Problem, duals, X, U):
 # Backward Riccati pass (lax.scan over the horizon, reverse)
 # ----------------------------------------------------------------------------
 
-def backward_pass(A, B, lx, lu, lxx, luu, lux, reg):
+def _backward_pass_scan(A, B, lx, lu, lxx, luu, lux, reg):
     """Riccati recursion. A,B: [N-1,...]; expansions: [N,...].
 
     Returns K [N-1,m,n], d [N-1,m], dV1, dV2 where the expected cost change
@@ -140,6 +140,43 @@ def backward_pass(A, B, lx, lu, lxx, luu, lux, reg):
     (Vx, Vxx, dV1, dV2), (K, d) = jax.lax.scan(
         body, (VxT, VxxT, zero, zero), xs, reverse=True)
     return K, d, dV1, dV2
+
+
+@jax.custom_batching.custom_vmap
+def backward_pass(A, B, lx, lu, lxx, luu, lux, reg):
+    """Riccati backward pass with a batching rule: a single solve runs the
+    ``lax.scan`` recursion; under ``vmap`` on TPU the whole batch dispatches
+    to the fused Pallas kernel (ops/riccati.py) that packs scenarios onto the
+    vector lanes — the batched [B, 12, 12] ops XLA emits otherwise run at
+    ~9% lane occupancy. Set ALTRO_TPU_PALLAS=0 to disable."""
+    return _backward_pass_scan(A, B, lx, lu, lxx, luu, lux, reg)
+
+
+@backward_pass.def_vmap
+def _backward_pass_vmap(axis_size, in_batched, A, B, lx, lu, lxx, luu, lux,
+                        reg):
+    import os
+
+    from ..ops.riccati import batched_riccati, riccati_supported
+
+    args = [A, B, lx, lu, lxx, luu, lux, reg]
+    args = [jnp.broadcast_to(a, (axis_size,) + a.shape) if not b else a
+            for a, b in zip(args, in_batched)]
+    A, B, lx, lu, lxx, luu, lux, reg = args
+
+    n = A.shape[-1]
+    m = B.shape[-1]
+    use_pallas = (
+        A.ndim == 4                                   # not nested vmap
+        and os.environ.get("ALTRO_TPU_PALLAS", "auto") != "0"
+        and jax.default_backend() not in ("cpu",)
+        and A.dtype == jnp.float32
+        and riccati_supported(n, m, axis_size))
+    if use_pallas:
+        out = batched_riccati(A, B, lx, lu, lxx, luu, lux, reg)
+    else:
+        out = jax.vmap(_backward_pass_scan)(A, B, lx, lu, lxx, luu, lux, reg)
+    return out, (True, True, True, True)
 
 
 # ----------------------------------------------------------------------------
@@ -232,7 +269,13 @@ def _solve(prob: Problem, opts: SolverOptions,
             X, U, J, K, reg, grad, it, done = s
             A, B, _ = prob.dynamics.linearize(X, U)
             lx, lu, lxx, luu, lux = al_expansion(prob, duals, X, U)
-            Knew, dff, dV1, dV2 = backward_pass(A, B, lx, lu, lxx, luu, lux, reg)
+            if opts.parallel_riccati:
+                from ..ops.parallel_riccati import parallel_backward_pass
+                Knew, dff, dV1, dV2 = parallel_backward_pass(
+                    A, B, lx, lu, lxx, luu, lux, reg)
+            else:
+                Knew, dff, dV1, dV2 = backward_pass(
+                    A, B, lx, lu, lxx, luu, lux, reg)
 
             # Gradient metric (parity with Altro's d-based gradient check).
             grad_new = jnp.max(

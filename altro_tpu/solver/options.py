@@ -42,3 +42,9 @@ class SolverOptions:
     # reset_duals=false, penalties reset each solve)
     reset_duals: bool = struct.field(pytree_node=False, default=False)
     reset_penalties: bool = struct.field(pytree_node=False, default=True)
+
+    # O(log N) associative-scan backward pass (ops/parallel_riccati.py) for
+    # long horizons; regularization folds into the control Hessian there.
+    # (The reference's `static_bp` StaticArrays toggle has no TPU analog —
+    # shapes are always static under XLA.)
+    parallel_riccati: bool = struct.field(pytree_node=False, default=False)
