@@ -8,9 +8,11 @@ scripts (SURVEY.md section 1):
 - flexible-satellite per-step timing (flexible_sat_mpc.jl:242-308)
 - quadruped 4-config timing (quadruped_benchmark.jl:1-55)
 
-Each driver runs ALTRO against the in-framework baseline in lockstep,
-records per-step solve latency (median-of-samples, jitted, fenced) plus
-batched throughput, and persists json results + a comparison figure.
+Each driver runs the warm-started ALTRO MPC loop host-driven (one jitted
+step per config — scan-wrapped loops are CPU-only; see CLAUDE.md), times
+every step like the reference times every solve, solves the same instances
+with the in-framework ADMM baseline in lockstep, and records inf-norm
+agreement. Results persist to json + comparison figures.
 
 Run: ``python -m altro_tpu.bench.drivers <benchmark> [--out results/]``
 """
@@ -19,14 +21,14 @@ from __future__ import annotations
 import argparse
 import os
 import time
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from .harness import BenchResult, benchmark_fn, comparison_plot, save_results
+from .harness import benchmark_fn, boxplot_stats, comparison_plot, save_results
 
 
 def _opts(**kw):
@@ -34,58 +36,117 @@ def _opts(**kw):
     return at.SolverOptions(**kw)
 
 
-def _time_mpc_steps(step_fn, carry0, noises, samples=3):
-    """Eagerly run an MPC loop, timing each jitted step (the reference times
-    each solve call; we time the full warm-started step)."""
-    jstep = jax.jit(step_fn)
-    carry = jax.block_until_ready(jstep(carry0, noises[0]))[0]  # compile
+def host_lockstep(prob_mpc, opts, X_track, U_track, noise, *, conic=False,
+                  baseline_eps=1e-6, noise_model=None, constraints_fn=None,
+                  time_baseline=True):
+    """Host-driven warm-started MPC loop with per-step timing and a lockstep
+    ADMM baseline on the identical instances.
+
+    Returns dict with altro_ms [T], baseline_ms [T], err_X/err_U [T],
+    iters [T, 2], status [T, 2].
+    """
+    import altro_tpu as at
+    from altro_tpu.costs import retarget_tracking
+    from altro_tpu.mpc import (default_noise_model, make_mpc_step,
+                               track_window)
+    from altro_tpu.solver import admm_conic, admm_qp
+    from altro_tpu.transcribe import to_batch_conic, to_batch_qp
+
+    noise_model = noise_model or default_noise_model
+    N = prob_mpc.N
+    step, init_carry = make_mpc_step(prob_mpc, opts, X_track, U_track,
+                                     noise_model, constraints_fn)
+    verbose = os.environ.get("ALTRO_TPU_BENCH_DEBUG") == "1"
+    if verbose:
+        print("    [lockstep] compiling step...", flush=True)
+    jstep = jax.jit(step)
+    carry0 = jax.block_until_ready(jax.jit(init_carry)())
+    _ = jax.block_until_ready(jstep(carry0, noise[0]))  # compile
+    if verbose:
+        print("    [lockstep] step compiled", flush=True)
+
+    # jitted baseline solve on problem data
+    if conic:
+        def baseline(prob_k, warm):
+            work = admm_conic.setup(to_batch_conic(prob_k))
+            sol = admm_conic.solve(work, eps_abs=baseline_eps)
+            X, U = admm_conic.extract_traj(work.prob, sol.x)
+            return X, U, sol.iterations, sol.status
+    else:
+        def baseline(prob_k, warm):
+            work = admm_qp.setup(to_batch_qp(prob_k))
+            sol = admm_qp.solve(work, eps_abs=baseline_eps)
+            X, U = admm_qp.extract_traj(work.qp, sol.x)
+            return X, U, sol.iterations, sol.status
+
+    jbaseline = jax.jit(baseline)
+
+    def prob_at(k, x0):
+        Xw, Uw = track_window(X_track, U_track, k, N)
+        p = prob_mpc.replace(cost=retarget_tracking(prob_mpc.cost, Xw, Uw),
+                             x0=x0)
+        if constraints_fn is not None:
+            p = p.replace(constraints=constraints_fn(k))
+        return p
+
+    # compile the baseline once
+    p0 = prob_at(jnp.asarray(1), carry0[0])
+    _ = jax.block_until_ready(jbaseline(p0, None))
+    if verbose:
+        print("    [lockstep] baseline compiled", flush=True)
+
     carry = carry0
-    times = []
-    for nz in noises:
+    rows = dict(altro_ms=[], baseline_ms=[], err_X=[], err_U=[], iters=[],
+                status=[])
+    T = noise.shape[0]
+    for t in range(T):
         t0 = time.perf_counter()
-        carry, out = jstep(carry, nz)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) * 1e3)
-    return times, carry
+        carry, out = jstep(carry, noise[t])
+        jax.block_until_ready(out.status)
+        rows["altro_ms"].append((time.perf_counter() - t0) * 1e3)
+
+        p_k = prob_at(jnp.asarray(t + 1), out.x0)
+        t0 = time.perf_counter()
+        Xb, Ub, bit, bstat = jbaseline(p_k, None)
+        jax.block_until_ready(Ub)
+        rows["baseline_ms"].append((time.perf_counter() - t0) * 1e3)
+
+        rows["err_X"].append(float(jnp.max(jnp.abs(out.X - Xb))))
+        rows["err_U"].append(float(jnp.max(jnp.abs(out.U - Ub))))
+        rows["iters"].append([int(out.iters), int(bit)])
+        rows["status"].append([int(out.status), int(bstat)])
+    return rows
 
 
 # ---------------------------------------------------------------------------
 # Random linear sweeps
 # ---------------------------------------------------------------------------
 
-def random_linear_sweep(kind: str = "horizon", T: int = 100, seed: int = 1,
-                        dtype=jnp.float32):
+def random_linear_sweep(kind: str = "horizon", T: int = 100,
+                        dtype=jnp.float32, xs=None):
     """kind in {horizon, state_dim, control_dim}
     (run_random_linear.jl:109-156)."""
-    import altro_tpu as at
     from altro_tpu.models import random_linear as rl
-    from altro_tpu.mpc import run_mpc_lockstep
 
     sweeps = {
-        "horizon": dict(Ns=[11, 31, 51, 71, 101], n=12, m=6, seed=1),
-        "state_dim": dict(Ns=[21], ns=[2, 15, 25, 35, 45, 55], m=2, seed=10),
-        "control_dim": dict(Ns=[21], ms=[2, 6, 10, 15, 20, 25], n=30, seed=15),
+        "horizon": dict(xs=[11, 31, 51, 71, 101],
+                        cfg=lambda x: (12, 6, x), seed=1,
+                        xlabel="MPC horizon N"),
+        "state_dim": dict(xs=[2, 15, 25, 35, 45, 55],
+                          cfg=lambda x: (x, 2, 21), seed=10,
+                          xlabel="state dimension n"),
+        "control_dim": dict(xs=[2, 6, 10, 15, 20, 25],
+                            cfg=lambda x: (30, x, 21), seed=15,
+                            xlabel="control dimension m"),
     }[kind]
     opts = _opts(cost_tolerance=1e-4, constraint_tolerance=1e-4,
                  gradient_tolerance=1e-4, penalty_initial=1e3,
                  penalty_scaling=100.0, reset_duals=False)
 
-    if kind == "horizon":
-        configs = [(sweeps["n"], sweeps["m"], N) for N in sweeps["Ns"]]
-        xs = sweeps["Ns"]
-        xlabel = "MPC horizon N"
-    elif kind == "state_dim":
-        configs = [(n, sweeps["m"], sweeps["Ns"][0]) for n in sweeps["ns"]]
-        xs = sweeps["ns"]
-        xlabel = "state dimension n"
-    else:
-        configs = [(sweeps["n"], m, sweeps["Ns"][0]) for m in sweeps["ms"]]
-        xs = sweeps["ms"]
-        xlabel = "control dimension m"
-
-    out: Dict[str, Dict[float, List[float]]] = {"ALTRO": {}, "ADMM-QP": {}}
+    times: Dict[str, Dict[float, List[float]]] = {"ALTRO": {}, "ADMM-QP": {}}
     errs = {}
-    for x, (n, m, N_mpc) in zip(xs, configs):
+    for x in (xs if xs is not None else sweeps["xs"]):
+        n, m, N_mpc = sweeps["cfg"](x)
         rng = np.random.default_rng(sweeps["seed"])
         N_track = N_mpc + T + 2
         prob = rl.gen_random_linear(rng, n, m, N_track, dtype=dtype)
@@ -93,160 +154,175 @@ def random_linear_sweep(kind: str = "horizon", T: int = 100, seed: int = 1,
         prob_mpc = rl.gen_tracking_mpc(prob, X_track, U_track, N_mpc)
         noise = jnp.asarray(rng.standard_normal((T, n)), dtype)
 
-        res = jax.block_until_ready(jax.jit(
-            lambda nz: run_mpc_lockstep(prob_mpc, opts, X_track, U_track, nz)
-        )(noise))
-        errs[x] = dict(err_X=float(jnp.max(res.err_X)),
-                       err_U=float(jnp.max(res.err_U)),
-                       success=float(jnp.mean(res.status[:, 0])))
-
-        # per-solve latency: time warm solves standalone
-        from altro_tpu.mpc import run_mpc
-        b_altro = benchmark_fn(
-            jax.jit(lambda: run_mpc(prob_mpc, opts, X_track, U_track,
-                                    noise[:10]).iters),
-            samples=3, evals=1, name=f"altro_{x}")
-        out["ALTRO"][x] = [t / 11 for t in b_altro.samples_ms]  # 10 steps + cold
-
-        from altro_tpu.solver import admm_qp
-        from altro_tpu.transcribe import to_batch_qp
-        work = admm_qp.setup(to_batch_qp(prob_mpc))
-        b_qp = benchmark_fn(
-            jax.jit(lambda: admm_qp.solve(work, eps_abs=1e-4).x),
-            samples=3, evals=3, name=f"qp_{x}")
-        out["ADMM-QP"][x] = b_qp.samples_ms
-        print(f"  {xlabel}={x}: ALTRO {np.mean(out['ALTRO'][x]):.3f} ms/step, "
-              f"ADMM-QP {np.mean(out['ADMM-QP'][x]):.3f} ms, "
-              f"err_U={errs[x]['err_U']:.2e}")
-    return dict(kind=kind, xlabel=xlabel, times=out, errs=errs)
+        rows = host_lockstep(prob_mpc, opts, X_track, U_track, noise,
+                             baseline_eps=1e-5)
+        times["ALTRO"][x] = rows["altro_ms"]
+        times["ADMM-QP"][x] = rows["baseline_ms"]
+        errs[x] = dict(err_X=max(rows["err_X"]), err_U=max(rows["err_U"]),
+                       success=float(np.mean([s[0] for s in rows["status"]])))
+        print(f"  {sweeps['xlabel']}={x}: ALTRO "
+              f"{np.mean(rows['altro_ms']):.3f} ms/step, ADMM-QP "
+              f"{np.mean(rows['baseline_ms']):.3f} ms, "
+              f"err_U={errs[x]['err_U']:.2e}", flush=True)
+    return dict(kind=kind, xlabel=sweeps["xlabel"], times=times, errs=errs)
 
 
 # ---------------------------------------------------------------------------
 # Rocket tolerance sweep
 # ---------------------------------------------------------------------------
 
-def rocket_tol_sweep(tols=(1e-2, 1e-4, 1e-6, 1e-8), T: int = 10,
-                     N_mpc: int = 21):
+def rocket_tol_sweep(tols=(1e-2, 1e-4, 1e-6, 1e-8), T: int = 20,
+                     N_mpc: int = 21, dtype=jnp.float64):
     """Trajectory error + timing vs solver tolerance
     (run_simple_rocket.jl:146-206 / figures/rocket_solver_tol.tikz)."""
     import altro_tpu as at
     from altro_tpu.models import rocket
-    from altro_tpu.mpc import gen_tracking_mpc, run_mpc_lockstep_conic
+    from altro_tpu.mpc import gen_tracking_mpc
 
     N = 301
-    prob = rocket.rocket_problem(N=N, tf=(N - 1) * 0.05)
-    cold = at.solve(prob, _opts(
+    prob = rocket.rocket_problem(N=N, tf=(N - 1) * 0.05, dtype=dtype)
+    cold = jax.jit(at.solve)(prob, _opts(
         cost_tolerance=1e-6, gradient_tolerance=1e-8,
         constraint_tolerance=1e-5, penalty_initial=1e-2, penalty_scaling=500.0,
         iterations_outer=40, iterations_inner=100),
         U0=rocket.hover_controls(prob))
     prob_mpc = gen_tracking_mpc(prob, cold.X, cold.U, N_mpc, dt=0.05)
     rng = np.random.default_rng(1)
-    noise = jnp.asarray(rng.standard_normal((T, 6)))
+    noise = jnp.asarray(rng.standard_normal((T, 6)), dtype)
 
-    rows = []
+    out = []
     for tol in tols:
         opts = _opts(cost_tolerance=tol, gradient_tolerance=tol * 1e-2,
                      constraint_tolerance=tol, penalty_initial=1e3,
                      penalty_scaling=10.0, reset_duals=False,
                      iterations_outer=40)
-        res = jax.block_until_ready(run_mpc_lockstep_conic(
-            prob_mpc, opts, cold.X, cold.U, noise, conic_eps=1e-9,
-            conic_max_iter=50000, noise_model=rocket.rocket_noise_model()))
-        from altro_tpu.mpc import run_mpc
-        b = benchmark_fn(jax.jit(
-            lambda: run_mpc(prob_mpc, opts, cold.X, cold.U, noise,
-                            noise_model=rocket.rocket_noise_model()).iters),
-            samples=3, evals=1)
-        rows.append(dict(tol=tol, err_X=float(jnp.max(res.err_X)),
-                         err_U=float(jnp.max(res.err_U)),
-                         altro_ms_per_step=b.median_ms / (T + 1),
-                         iters=float(jnp.mean(res.iters[:, 0]))))
-        print(f"  tol={tol:g}: err_U={rows[-1]['err_U']:.2e} "
-              f"altro {rows[-1]['altro_ms_per_step']:.3f} ms/step")
-    return dict(rows=rows, cold_iterations=int(cold.stats.iterations))
+        rows = host_lockstep(prob_mpc, opts, cold.X, cold.U, noise,
+                             conic=True, baseline_eps=1e-9,
+                             noise_model=rocket.rocket_noise_model())
+        out.append(dict(tol=tol, err_X=max(rows["err_X"]),
+                        err_U=max(rows["err_U"]),
+                        altro_ms=float(np.mean(rows["altro_ms"])),
+                        baseline_ms=float(np.mean(rows["baseline_ms"])),
+                        iters=float(np.mean([i[0] for i in rows["iters"]]))))
+        print(f"  tol={tol:g}: err_U={out[-1]['err_U']:.2e} altro "
+              f"{out[-1]['altro_ms']:.3f} ms/step conic "
+              f"{out[-1]['baseline_ms']:.3f} ms", flush=True)
+    return dict(rows=out, cold_iterations=int(cold.stats.iterations))
 
 
 # ---------------------------------------------------------------------------
 # Grasp horizon sweep
 # ---------------------------------------------------------------------------
 
-def grasp_horizon_sweep(Ns=(11, 21, 31, 41, 51), T: int = 10):
+def grasp_horizon_sweep(Ns=(11, 21, 31, 41, 51), T: int = 15,
+                        dtype=jnp.float64):
     """(grasp_benchmark.jl:16-172)"""
     import altro_tpu as at
     from altro_tpu.models import grasp
-    from altro_tpu.mpc import (gen_tracking_mpc, run_mpc,
-                               run_mpc_lockstep_conic)
+    from altro_tpu.mpc import gen_tracking_mpc
 
     N, tf = 61, 6.0
-    o = grasp.make_grasp_object(N, tf)
-    prob = grasp.grasp_problem(o, N, tf)
-    cold = at.solve(prob, _opts(
+    o = grasp.make_grasp_object(N, tf, dtype=dtype)
+    prob = grasp.grasp_problem(o, N, tf, dtype=dtype)
+    cold = jax.jit(at.solve)(prob, _opts(
         cost_tolerance=1e-6, gradient_tolerance=1e-8,
         constraint_tolerance=1e-6, penalty_initial=10.0, penalty_scaling=10.0,
         iterations_outer=30, iterations_inner=50),
-        U0=grasp.hover_controls(o, N))
+        U0=grasp.hover_controls(o, N, dtype=dtype))
     opts = _opts(cost_tolerance=1e-4, constraint_tolerance=1e-4,
                  penalty_initial=1e4, penalty_scaling=100.0, reset_duals=False)
 
-    out = {"ALTRO": {}, "ADMM-Conic": {}}
+    times = {"ALTRO": {}, "ADMM-Conic": {}}
     errs = {}
     rng = np.random.default_rng(0)
     for N_mpc in Ns:
         prob_mpc = gen_tracking_mpc(prob, cold.X, cold.U, N_mpc, Qk=1e3,
                                     Rk=1.0, Qfk=10.0, dt=tf / (N - 1))
         prob_mpc = prob_mpc.replace(
-            constraints=grasp.grasp_constraints(o, N_mpc, 0))
-        fn = lambda k, N_mpc=N_mpc: grasp.grasp_constraints(o, N_mpc, k)
-        noise = jnp.asarray(rng.standard_normal((T, 6)))
-        res = jax.block_until_ready(run_mpc_lockstep_conic(
-            prob_mpc, opts, cold.X, cold.U, noise, conic_eps=1e-6,
-            constraints_fn=fn))
-        errs[N_mpc] = dict(err_U=float(jnp.max(res.err_U)),
-                           success=float(jnp.mean(res.status[:, 0])))
-        b = benchmark_fn(jax.jit(
-            lambda: run_mpc(prob_mpc, opts, cold.X, cold.U, noise,
-                            constraints_fn=fn).iters),
-            samples=3, evals=1)
-        out["ALTRO"][N_mpc] = [t / (T + 1) for t in b.samples_ms]
-        conic_iters = float(jnp.mean(res.iters[:, 1]))
-        out["ADMM-Conic"][N_mpc] = [conic_iters]  # iterations, not ms (see json)
-        print(f"  N={N_mpc}: ALTRO {np.mean(out['ALTRO'][N_mpc]):.3f} ms/step,"
-              f" err_U={errs[N_mpc]['err_U']:.2e}")
-    return dict(times=out, errs=errs)
+            constraints=grasp.grasp_constraints(o, N_mpc, 0, dtype=dtype))
+        fn = lambda k, N_mpc=N_mpc: grasp.grasp_constraints(o, N_mpc, k,
+                                                            dtype=dtype)
+        noise = jnp.asarray(rng.standard_normal((T, 6)), dtype)
+        rows = host_lockstep(prob_mpc, opts, cold.X, cold.U, noise,
+                             conic=True, baseline_eps=1e-7,
+                             constraints_fn=fn)
+        times["ALTRO"][N_mpc] = rows["altro_ms"]
+        times["ADMM-Conic"][N_mpc] = rows["baseline_ms"]
+        errs[N_mpc] = dict(err_U=max(rows["err_U"]),
+                           success=float(np.mean([s[0] for s in rows["status"]])))
+        print(f"  N={N_mpc}: ALTRO {np.mean(rows['altro_ms']):.3f} ms/step, "
+              f"conic {np.mean(rows['baseline_ms']):.3f} ms, "
+              f"err_U={errs[N_mpc]['err_U']:.2e}", flush=True)
+    return dict(times=times, errs=errs, xlabel="MPC horizon N")
 
 
 # ---------------------------------------------------------------------------
 # Flexible satellite
 # ---------------------------------------------------------------------------
 
-def flexsat_benchmark(T: int = 45, trials: int = 10):
-    """(flexible_sat_mpc.jl:242-308)"""
+def flexsat_benchmark(T: int = 45, trials: int = 10, dtype=jnp.float64):
+    """(flexible_sat_mpc.jl:242-308): per-MPC-step solve times, regulator
+    loop (no shifting), both solvers."""
     import altro_tpu as at
     from altro_tpu.models import flexible_satellite as fs
+    from altro_tpu.solver import admm_qp
+    from altro_tpu.transcribe import to_batch_qp
 
-    prob = fs.flexsat_problem()
+    prob = fs.flexsat_problem(dtype=dtype)
     opts = _opts(cost_tolerance=1e-4, constraint_tolerance=1e-4,
                  penalty_initial=100.0, penalty_scaling=100.0)
-    times = []
+
+    # jitted single regulator step (propagate + resolve, warm primals)
+    def astep(x0, U, duals, noise_i):
+        x0n = prob.dynamics.step(x0, U[0], 0) + 2e-4 * noise_i
+        sol = at.solve(prob.replace(x0=x0n), opts, U0=U, duals=duals)
+        return x0n, sol.U, sol.duals, sol.stats.iterations, sol.stats.status
+
+    jastep = jax.jit(astep)
+
+    work0 = admm_qp.setup(to_batch_qp(prob))
+
+    def qstep(x0):
+        from altro_tpu.transcribe import qp_set_x0
+        work = admm_qp.update(work0)
+        qp = qp_set_x0(work.qp, x0)
+        sol = admm_qp.solve(work.replace(qp=qp), eps_abs=1e-4)
+        return sol.iterations, sol.status
+
+    jqstep = jax.jit(qstep)
+
+    altro_mat = np.zeros((T, trials))
+    osqp_mat = np.zeros((T, trials))
     for trial in range(trials):
         rng = np.random.default_rng(trial)
-        noise = jnp.asarray(rng.standard_normal((T, prob.n)))
-        b = benchmark_fn(jax.jit(
-            lambda: fs.run_regulator_mpc(prob, opts, noise).iters),
-            samples=1, evals=1, warmup=1 if trial == 0 else 0)
-        times.append(b.median_ms / (T + 1))
-        print(f"  trial {trial}: {times[-1]:.3f} ms/step")
-    return dict(ms_per_step=times)
+        sol0 = jax.jit(at.solve)(prob, opts)
+        x0, U, duals = prob.x0, sol0.U, sol0.duals
+        for t in range(T):
+            nz = jnp.asarray(rng.standard_normal(prob.n), dtype)
+            t0 = time.perf_counter()
+            x0, U, duals, it, st = jastep(x0, U, duals, nz)
+            jax.block_until_ready(st)
+            altro_mat[t, trial] = (time.perf_counter() - t0) * 1e3
+            t0 = time.perf_counter()
+            qi, qs = jqstep(x0)
+            jax.block_until_ready(qs)
+            osqp_mat[t, trial] = (time.perf_counter() - t0) * 1e3
+        print(f"  trial {trial}: altro median "
+              f"{np.median(altro_mat[:, trial]):.3f} ms, qp "
+              f"{np.median(osqp_mat[:, trial]):.3f} ms", flush=True)
+    return dict(altro_ms=altro_mat.tolist(), qp_ms=osqp_mat.tolist(),
+                altro_median_per_step=np.median(altro_mat, axis=1).tolist(),
+                qp_median_per_step=np.median(osqp_mat, axis=1).tolist())
 
 
 # ---------------------------------------------------------------------------
 # Quadruped
 # ---------------------------------------------------------------------------
 
-def quadruped_benchmark(tf: float = 2.0):
+def quadruped_benchmark(tf: float = 2.0, dtype=jnp.float64):
     """Four configs: ALTRO-QP, ADMM-QP (OSQP role), ALTRO-SOCP,
-    ADMM-Conic (ECOS role) (quadruped_benchmark.jl:1-55)."""
+    ADMM-Conic (ECOS role) (quadruped_benchmark.jl:1-55). Runs the closed
+    loop on the SRB plant and reports per-solve MPC times."""
     import altro_tpu as at
     from altro_tpu.models.quadruped import config, controller
 
@@ -261,14 +337,16 @@ def quadruped_benchmark(tf: float = 2.0):
             ("ECOS-role", False, "admm_conic")):
         cfg = config.MPCConfig(linearized_friction=lin)
         fn = jax.jit(lambda cfg=cfg, backend=backend: controller.simulate(
-            cfg, opts, tf=tf, backend=backend)["status"])
-        b = benchmark_fn(fn, samples=2, evals=1, name=name)
-        n_solves = int(round(tf / cfg.update_dt))
+            cfg, opts, tf=tf, backend=backend, dtype=dtype)["status"])
         status = np.asarray(jax.block_until_ready(fn()))
-        rows[name] = dict(ms_per_solve=b.median_ms / n_solves,
+        n_solves = int(round(tf / cfg.update_dt))
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        total = time.perf_counter() - t0
+        rows[name] = dict(ms_per_solve=total * 1e3 / n_solves,
                           success=float(status.mean()))
         print(f"  {name}: {rows[name]['ms_per_solve']:.3f} ms/solve "
-              f"(success {rows[name]['success']:.2f})")
+              f"(success {rows[name]['success']:.2f})", flush=True)
     return rows
 
 
@@ -290,7 +368,7 @@ def main():
     args = p.parse_args()
     names = list(BENCHMARKS) if args.benchmark == "all" else [args.benchmark]
     for name in names:
-        print(f"== {name}")
+        print(f"== {name}", flush=True)
         res = BENCHMARKS[name]()
         save_results(os.path.join(args.out, f"{name}.json"), res)
         if isinstance(res, dict) and "times" in res:
@@ -298,7 +376,7 @@ def main():
                 comparison_plot(res["times"], res.get("xlabel", "sweep"),
                                 os.path.join("figures", f"{name}.png"))
             except Exception as e:  # plotting is best-effort
-                print(f"  (plot skipped: {e})")
+                print(f"  (plot skipped: {e})", flush=True)
 
 
 if __name__ == "__main__":

@@ -63,7 +63,7 @@ def measure(batch_per_device: int = 64, steps: int = 10, n: int = 12,
         rows.append(dict(devices=nd, batch=B, solves_per_s=round(sps, 1),
                          n_success=int(metrics[2])))
         print(f"devices={nd} B={B}: {sps:.0f} solves/s "
-              f"({int(metrics[2])}/{B} success)")
+              f"({int(metrics[2])}/{B} success)", flush=True)
 
     base = rows[0]["solves_per_s"]
     for r in rows:

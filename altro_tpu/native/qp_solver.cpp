@@ -122,10 +122,14 @@ extern "C" int altro_tpu_qp_solve(
         coln[j] = std::max(coln[j], v);
         rown[i] = std::max(rown[i], v);
       }
+    // leave identically-zero rows/cols alone (masked constraint rows):
+    // repeatedly "normalizing" them blows the scaling up geometrically.
     for (int j = 0; j < nn; ++j)
-      D[j] /= std::sqrt(std::min(std::max(coln[j], 1e-8), 1e8));
+      if (coln[j] > 1e-12)
+        D[j] /= std::sqrt(std::min(std::max(coln[j], 1e-8), 1e8));
     for (int i = 0; i < mm; ++i)
-      E[i] /= std::sqrt(std::min(std::max(rown[i], 1e-8), 1e8));
+      if (rown[i] > 1e-12)
+        E[i] /= std::sqrt(std::min(std::max(rown[i], 1e-8), 1e8));
     double pmean = 0.0, qmax = 0.0;
     for (int j = 0; j < nn; ++j) {
       double cm = 0.0;

@@ -98,6 +98,7 @@ def solve(work, x0=None, y0=None, **kw):
 
 def _solve_impl(work: ADMMConicWork, x0: Optional[jnp.ndarray] = None,
           y0: Optional[jnp.ndarray] = None, eps_abs: float = 1e-6,
+          eps_rel: Optional[float] = None,
           max_iter: int = 20000) -> ADMMConicSolution:
     p = work.prob
     dtype = p.P.dtype
@@ -107,6 +108,7 @@ def _solve_impl(work: ADMMConicWork, x0: Optional[jnp.ndarray] = None,
     w = _project_K(p.segments, p.b - p.A @ x)
     rho = work.rho_vec
     inf = jnp.asarray(jnp.inf, dtype)
+    eps_rel_v = eps_abs if eps_rel is None else eps_rel
 
     def cond(s):
         x, w, y, it, rp, rd, done = s
@@ -123,7 +125,11 @@ def _solve_impl(work: ADMMConicWork, x0: Optional[jnp.ndarray] = None,
 
         rp_n = jnp.max(jnp.abs(Ax + w_n - p.b))
         rd_n = jnp.max(jnp.abs(p.A.T @ (rho * (w_n - w_prev))))
-        done_n = (rp_n < eps_abs) & (rd_n < eps_abs)
+        sp = jnp.maximum(jnp.max(jnp.abs(Ax)),
+                         jnp.maximum(jnp.max(jnp.abs(w_n)),
+                                     jnp.max(jnp.abs(p.b))))
+        done_n = (rp_n < eps_abs + eps_rel_v * sp) & \
+            (rd_n < eps_abs + eps_rel_v * sp)
         out = (x_n, w_n, y_n, it + 1, rp_n, rd_n, done_n)
         return jax.tree_util.tree_map(
             lambda a, c: jnp.where(done, a, c), s, out)

@@ -75,10 +75,15 @@ def _ruiz(P, q, A, iters: int = 10):
         col_norm = jnp.maximum(jnp.max(jnp.abs(Ps), axis=0),
                                jnp.max(jnp.abs(As), axis=0))
         row_norm = jnp.max(jnp.abs(As), axis=1)
-        delta_d = 1.0 / jnp.sqrt(jnp.clip(col_norm, 1e-8, 1e8))
-        delta_e = 1.0 / jnp.sqrt(jnp.clip(row_norm, 1e-8, 1e8))
-        D = D * delta_d
-        E = E * delta_e
+        # leave identically-zero rows/cols alone (masked constraint rows):
+        # repeatedly "normalizing" them blows E up geometrically and
+        # overflows f32.
+        delta_d = jnp.where(col_norm > 1e-12,
+                            1.0 / jnp.sqrt(jnp.clip(col_norm, 1e-8, 1e8)), 1.0)
+        delta_e = jnp.where(row_norm > 1e-12,
+                            1.0 / jnp.sqrt(jnp.clip(row_norm, 1e-8, 1e8)), 1.0)
+        D = jnp.clip(D * delta_d, 1e-6, 1e6)
+        E = jnp.clip(E * delta_e, 1e-6, 1e6)
         # cost normalization
         Ps = c * (D[:, None] * P * D[None, :])
         qs = c * (D * q)
@@ -129,6 +134,7 @@ def solve(work, x0=None, y0=None, **kw):
 
 def _solve_impl(work: ADMMQPWork, x0: Optional[jnp.ndarray] = None,
           y0: Optional[jnp.ndarray] = None, eps_abs: float = 1e-5,
+          eps_rel: Optional[float] = None,
           max_iter: int = 4000) -> ADMMQPSolution:
     qp = work.qp
     dtype = qp.P.dtype
@@ -157,13 +163,26 @@ def _solve_impl(work: ADMMQPWork, x0: Optional[jnp.ndarray] = None,
         K = Ps + work.sigma * eye + As.T @ (rho_vec_of(rho)[:, None] * As)
         return jax.scipy.linalg.cholesky(K, lower=True)
 
+    # OSQP termination: eps_abs + eps_rel * scale (the reference configures
+    # OSQP with eps_abs = eps_rel = cost_tolerance,
+    # random_linear_problem.jl:71-74)
+    eps_rel_v = eps_abs if eps_rel is None else eps_rel
+
     def unscaled_residuals(x, z, y):
         xu = D * x
         zu = z / E
         yu = (E / c) * y
-        rp = jnp.max(jnp.abs(qp.A @ xu - zu))
-        rd = jnp.max(jnp.abs(qp.P @ xu + qp.q + qp.A.T @ yu))
-        return rp, rd
+        Ax = qp.A @ xu
+        Px = qp.P @ xu
+        Aty = qp.A.T @ yu
+        rp = jnp.max(jnp.abs(Ax - zu))
+        rd = jnp.max(jnp.abs(Px + qp.q + Aty))
+        sp = jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(zu)))
+        sd = jnp.maximum(jnp.max(jnp.abs(Px)),
+                         jnp.maximum(jnp.max(jnp.abs(Aty)),
+                                     jnp.max(jnp.abs(qp.q))))
+        ok = (rp < eps_abs + eps_rel_v * sp) & (rd < eps_abs + eps_rel_v * sd)
+        return rp, rd, ok
 
     def cond(s):
         x, z, y, rho, chol, it, rp, rd, done = s
@@ -186,8 +205,7 @@ def _solve_impl(work: ADMMQPWork, x0: Optional[jnp.ndarray] = None,
 
         x_n, z_n, y_n = jax.lax.fori_loop(0, CHUNK, inner, (x, z, y))
 
-        rp_n, rd_n = unscaled_residuals(x_n, z_n, y_n)
-        done_n = (rp_n < eps_abs) & (rd_n < eps_abs)
+        rp_n, rd_n, done_n = unscaled_residuals(x_n, z_n, y_n)
 
         # OSQP-style adaptive rho on relative scaled residuals, with
         # refactorization when rho moves meaningfully.
