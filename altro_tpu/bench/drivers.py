@@ -36,6 +36,18 @@ def _opts(**kw):
     return at.SolverOptions(**kw)
 
 
+def _zero_x(prob_mpc, conic):
+    from altro_tpu.transcribe import to_batch_conic, to_batch_qp
+    t = to_batch_conic(prob_mpc) if conic else to_batch_qp(prob_mpc)
+    return jnp.zeros(t.num_vars, t.P.dtype)
+
+
+def _zero_y(prob_mpc, conic):
+    from altro_tpu.transcribe import to_batch_conic, to_batch_qp
+    t = to_batch_conic(prob_mpc) if conic else to_batch_qp(prob_mpc)
+    return jnp.zeros(t.A.shape[0], t.P.dtype)
+
+
 def host_lockstep(prob_mpc, opts, X_track, U_track, noise, *, conic=False,
                   baseline_eps=1e-6, noise_model=None, constraints_fn=None,
                   time_baseline=True):
@@ -65,19 +77,31 @@ def host_lockstep(prob_mpc, opts, X_track, U_track, noise, *, conic=False,
     if verbose:
         print("    [lockstep] step compiled", flush=True)
 
-    # jitted baseline solve on problem data
+    # jitted baseline solve on problem data, warm-started from the previous
+    # step's primal/dual like the reference warm-starts OSQP/COSMO. With
+    # fixed constraints the KKT factor/scalings are set up once and reused
+    # (the reference's OSQP setup-once + update! pattern); time-varying
+    # constraints refactor per step.
+    fixed = constraints_fn is None
     if conic:
-        def baseline(prob_k, warm):
-            work = admm_conic.setup(to_batch_conic(prob_k))
-            sol = admm_conic.solve(work, eps_abs=baseline_eps)
-            X, U = admm_conic.extract_traj(work.prob, sol.x)
-            return X, U, sol.iterations, sol.status
+        work0 = admm_conic.setup(to_batch_conic(prob_mpc)) if fixed else None
+
+        def baseline(prob_k, xw, yw):
+            data = to_batch_conic(prob_k)
+            work = work0.replace(prob=data) if fixed \
+                else admm_conic.setup(data)
+            sol = admm_conic.solve(work, x0=xw, y0=yw, eps_abs=baseline_eps)
+            X, U = admm_conic.extract_traj(data, sol.x)
+            return X, U, sol.x, sol.y, sol.iterations, sol.status
     else:
-        def baseline(prob_k, warm):
-            work = admm_qp.setup(to_batch_qp(prob_k))
-            sol = admm_qp.solve(work, eps_abs=baseline_eps)
-            X, U = admm_qp.extract_traj(work.qp, sol.x)
-            return X, U, sol.iterations, sol.status
+        work0 = admm_qp.setup(to_batch_qp(prob_mpc)) if fixed else None
+
+        def baseline(prob_k, xw, yw):
+            data = to_batch_qp(prob_k)
+            work = work0.replace(qp=data) if fixed else admm_qp.setup(data)
+            sol = admm_qp.solve(work, x0=xw, y0=yw, eps_abs=baseline_eps)
+            X, U = admm_qp.extract_traj(data, sol.x)
+            return X, U, sol.x, sol.y, sol.iterations, sol.status
 
     jbaseline = jax.jit(baseline)
 
@@ -89,9 +113,11 @@ def host_lockstep(prob_mpc, opts, X_track, U_track, noise, *, conic=False,
             p = p.replace(constraints=constraints_fn(k))
         return p
 
-    # compile the baseline once
+    # compile the baseline once (also produces the initial warm start)
     p0 = prob_at(jnp.asarray(1), carry0[0])
-    _ = jax.block_until_ready(jbaseline(p0, None))
+    _, _, xw, yw, _, _ = jax.block_until_ready(jbaseline(
+        p0, jnp.zeros_like(_zero_x(prob_mpc, conic)),
+        jnp.zeros_like(_zero_y(prob_mpc, conic))))
     if verbose:
         print("    [lockstep] baseline compiled", flush=True)
 
@@ -107,7 +133,7 @@ def host_lockstep(prob_mpc, opts, X_track, U_track, noise, *, conic=False,
 
         p_k = prob_at(jnp.asarray(t + 1), out.x0)
         t0 = time.perf_counter()
-        Xb, Ub, bit, bstat = jbaseline(p_k, None)
+        Xb, Ub, xw, yw, bit, bstat = jbaseline(p_k, xw, yw)
         jax.block_until_ready(Ub)
         rows["baseline_ms"].append((time.perf_counter() - t0) * 1e3)
 
@@ -122,12 +148,17 @@ def host_lockstep(prob_mpc, opts, X_track, U_track, noise, *, conic=False,
 # Random linear sweeps
 # ---------------------------------------------------------------------------
 
-def random_linear_sweep(kind: str = "horizon", T: int = 100,
-                        dtype=jnp.float32, xs=None):
+def _default_dtype():
+    return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+
+
+def random_linear_sweep(kind: str = "horizon", T: int = 50,
+                        dtype=None, xs=None):
     """kind in {horizon, state_dim, control_dim}
     (run_random_linear.jl:109-156)."""
     from altro_tpu.models import random_linear as rl
 
+    dtype = dtype or _default_dtype()
     sweeps = {
         "horizon": dict(xs=[11, 31, 51, 71, 101],
                         cfg=lambda x: (12, 6, x), seed=1,
@@ -155,7 +186,7 @@ def random_linear_sweep(kind: str = "horizon", T: int = 100,
         noise = jnp.asarray(rng.standard_normal((T, n)), dtype)
 
         rows = host_lockstep(prob_mpc, opts, X_track, U_track, noise,
-                             baseline_eps=1e-5)
+                             baseline_eps=1e-6)
         times["ALTRO"][x] = rows["altro_ms"]
         times["ADMM-QP"][x] = rows["baseline_ms"]
         errs[x] = dict(err_X=max(rows["err_X"]), err_U=max(rows["err_U"]),
