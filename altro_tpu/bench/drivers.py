@@ -49,8 +49,8 @@ def _zero_y(prob_mpc, conic):
 
 
 def host_lockstep(prob_mpc, opts, X_track, U_track, noise, *, conic=False,
-                  baseline_eps=1e-6, noise_model=None, constraints_fn=None,
-                  time_baseline=True):
+                  baseline_eps=1e-6, baseline_eps_rel=None, noise_model=None,
+                  constraints_fn=None, time_baseline=True):
     """Host-driven warm-started MPC loop with per-step timing and a lockstep
     ADMM baseline on the identical instances.
 
@@ -90,7 +90,8 @@ def host_lockstep(prob_mpc, opts, X_track, U_track, noise, *, conic=False,
             data = to_batch_conic(prob_k)
             work = work0.replace(prob=data) if fixed \
                 else admm_conic.setup(data)
-            sol = admm_conic.solve(work, x0=xw, y0=yw, eps_abs=baseline_eps)
+            sol = admm_conic.solve(work, x0=xw, y0=yw, eps_abs=baseline_eps,
+                                   eps_rel=baseline_eps_rel)
             X, U = admm_conic.extract_traj(data, sol.x)
             return X, U, sol.x, sol.y, sol.iterations, sol.status
     else:
@@ -99,7 +100,8 @@ def host_lockstep(prob_mpc, opts, X_track, U_track, noise, *, conic=False,
         def baseline(prob_k, xw, yw):
             data = to_batch_qp(prob_k)
             work = work0.replace(qp=data) if fixed else admm_qp.setup(data)
-            sol = admm_qp.solve(work, x0=xw, y0=yw, eps_abs=baseline_eps)
+            sol = admm_qp.solve(work, x0=xw, y0=yw, eps_abs=baseline_eps,
+                                eps_rel=baseline_eps_rel)
             X, U = admm_qp.extract_traj(data, sol.x)
             return X, U, sol.x, sol.y, sol.iterations, sol.status
 
@@ -186,7 +188,7 @@ def random_linear_sweep(kind: str = "horizon", T: int = 50,
         noise = jnp.asarray(rng.standard_normal((T, n)), dtype)
 
         rows = host_lockstep(prob_mpc, opts, X_track, U_track, noise,
-                             baseline_eps=1e-6)
+                             baseline_eps=1e-6, baseline_eps_rel=1e-9)
         times["ALTRO"][x] = rows["altro_ms"]
         times["ADMM-QP"][x] = rows["baseline_ms"]
         errs[x] = dict(err_X=max(rows["err_X"]), err_U=max(rows["err_U"]),

@@ -27,6 +27,9 @@ def gen_marginally_stable(rng: np.random.Generator, n: int, m: int,
     """Discrete (A, B): A = Q diag(v) Q' with random orthogonal Q and spectrum
     scaled to spectral radius 1/(1+tol); B ~ N(0,1); retried until
     controllable (random_linear.jl:26-65)."""
+    import warnings
+
+    best = None
     for _ in range(max_iter):
         v = rng.standard_normal(n)
         v = v / (np.max(np.abs(v)) + tol)
@@ -40,9 +43,16 @@ def gen_marginally_stable(rng: np.random.Generator, n: int, m: int,
         for k in range(n):
             R[:, k * m:(k + 1) * m] = Ak @ B
             Ak = Ak @ A
+        best = (A, B)
         if np.linalg.matrix_rank(R) == n:
             return A, B
-    raise RuntimeError("exceeded max attempts to find a controllable system")
+    # At large n the controllability matrix's singular values decay
+    # exponentially, so the numerical rank check fails even though random
+    # systems are controllable with probability 1 — accept the candidate
+    # (the reference's state-dim sweep reaches n=55 the same way).
+    warnings.warn(f"controllability rank check failed numerically at n={n}; "
+                  "accepting the last candidate system")
+    return best
 
 
 def gen_random_linear(rng: np.random.Generator, n: int, m: int, N: int,

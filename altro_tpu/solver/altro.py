@@ -21,6 +21,7 @@ reference benchmark (run_random_linear.jl:48) and is not replicated.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -180,6 +181,70 @@ def _backward_pass_vmap(axis_size, in_batched, A, B, lx, lu, lxx, luu, lux,
 
 
 # ----------------------------------------------------------------------------
+# Fused line-search rollouts (LTV fast path with a Pallas-batched rule)
+# ----------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _ls_rollouts_fn(alphas: tuple):
+    """custom_vmap'd ladder rollout for LTV dynamics, keyed by the static
+    alpha ladder. Single solve: scan rollout vmapped over alphas; under
+    vmap on TPU: the fused Pallas kernel (ops/rollout.py)."""
+    L = len(alphas)
+
+    def base_impl(alphas_arr, A, B, dd, Xb, Ub, K, dff):
+        def one(alpha):
+            def body(x, inp):
+                xb, ub, K_k, d_k, A_k, B_k, dd_k = inp
+                u = ub + alpha * d_k + K_k @ (x - xb)
+                x1 = A_k @ x + B_k @ u + dd_k
+                return x1, (x, u)
+
+            xN, (Xh, U) = jax.lax.scan(
+                body, Xb[0], (Xb[:-1], Ub, K, dff, A, B, dd))
+            return jnp.concatenate([Xh, xN[None]], axis=0), U
+
+        return jax.vmap(one)(alphas_arr)
+
+    # The ladder rides along as an explicit argument: custom_vmap stages the
+    # function out and cannot capture array constants from the closure.
+    @jax.custom_batching.custom_vmap
+    def ls_rollouts(alphas_arr, A, B, dd, Xb, Ub, K, dff):
+        return base_impl(alphas_arr, A, B, dd, Xb, Ub, K, dff)
+
+    @ls_rollouts.def_vmap
+    def _rule(axis_size, in_batched, alphas_arr, A, B, dd, Xb, Ub, K, dff):
+        import os
+
+        from ..ops.rollout import batched_ls_rollout, rollout_supported
+
+        args = [A, B, dd, Xb, Ub, K, dff]
+        args = [jnp.broadcast_to(a, (axis_size,) + a.shape) if not b else a
+                for a, b in zip(args, in_batched[1:])]
+        A, B, dd, Xb, Ub, K, dff = args
+        n = A.shape[-1]
+        m = B.shape[-1]
+        use_pallas = (
+            not in_batched[0]
+            and A.ndim == 4
+            and os.environ.get("ALTRO_TPU_PALLAS", "auto") != "0"
+            and jax.default_backend() not in ("cpu",)
+            and A.dtype == jnp.float32
+            and rollout_supported(n, m, axis_size, L))
+        if use_pallas:
+            out = batched_ls_rollout(A, B, dd, Xb, Ub, K, dff, alphas)
+        else:
+            out = jax.vmap(base_impl, in_axes=(None,) + (0,) * 7)(
+                alphas_arr, A, B, dd, Xb, Ub, K, dff)
+        return out, (True, True)
+
+    def wrapper(A, B, dd, Xb, Ub, K, dff):
+        return ls_rollouts(jnp.asarray(alphas, A.dtype), A, B, dd, Xb, Ub,
+                           K, dff)
+
+    return wrapper
+
+
+# ----------------------------------------------------------------------------
 # Forward closed-loop rollout
 # ----------------------------------------------------------------------------
 
@@ -284,20 +349,28 @@ def _solve(prob: Problem, opts: SolverOptions,
             pre_done = grad_new < opts.gradient_tolerance
 
             # Parallel line search: evaluate the whole backtracking ladder of
-            # step sizes at once (vmapped closed-loop rollouts) and take the
-            # largest admissible alpha. One pass, no sequential while_loop —
-            # both faster on TPU (the L rollouts vectorize) and far cheaper
-            # to compile than a third nested while.
-            alphas = (opts.ls_decrease
-                      ** jnp.arange(opts.iterations_linesearch)).astype(dtype)
+            # step sizes at once and take the largest admissible alpha. One
+            # pass, no sequential while_loop — both faster on TPU (the L
+            # rollouts vectorize; LTV dynamics dispatch to the fused Pallas
+            # ladder-rollout kernel under vmap) and far cheaper to compile
+            # than a third nested while.
+            alphas_t = tuple(opts.ls_decrease ** i
+                             for i in range(opts.iterations_linesearch))
+            alphas = jnp.asarray(alphas_t, dtype)
+            if isinstance(prob.dynamics, LTVDynamics):
+                dyn = prob.dynamics
+                Xts, Uts = _ls_rollouts_fn(alphas_t)(
+                    dyn.A, dyn.B, dyn.d, X, U, Knew, dff)
+                Jts = jax.vmap(
+                    lambda Xt, Ut: total_al_cost(prob, duals, Xt, Ut))(Xts, Uts)
+            else:
+                def try_alpha(alpha):
+                    Xt, Ut = rollout_closed_loop(prob.dynamics, X, U, Knew,
+                                                 dff, alpha)
+                    Jt = total_al_cost(prob, duals, Xt, Ut)
+                    return Xt, Ut, Jt
 
-            def try_alpha(alpha):
-                Xt, Ut = rollout_closed_loop(prob.dynamics, X, U, Knew, dff,
-                                             alpha)
-                Jt = total_al_cost(prob, duals, Xt, Ut)
-                return Xt, Ut, Jt
-
-            Xts, Uts, Jts = jax.vmap(try_alpha)(alphas)
+                Xts, Uts, Jts = jax.vmap(try_alpha)(alphas)
             expected = -(alphas * dV1 + alphas * alphas * dV2)
             ratio = (J - Jts) / jnp.maximum(expected, 1e-12)
             oks = jnp.where(expected > 1e-12, ratio > opts.ls_min_ratio,

@@ -29,8 +29,9 @@ class SolverOptions:
     reg_increase: float = 10.0
     reg_decrease: float = 0.5
 
-    # line search
-    ls_decrease: float = 0.5
+    # line search. ls_decrease is static: the alpha ladder is baked into the
+    # compiled program (and into the fused rollout kernel as constants).
+    ls_decrease: float = struct.field(pytree_node=False, default=0.5)
     ls_min_ratio: float = 1e-4   # Armijo-style acceptance on expected decrease
 
     # iteration caps (static: they bound the while loops)
