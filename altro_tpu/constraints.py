@@ -280,9 +280,14 @@ def bound_constraint(N: int, n: int, m: int,
     def add(vec, sign, is_state):
         if vec is None:
             return
+        import numpy as _np
+
+        # finiteness is structural (decides which rows exist) and must be
+        # resolved host-side so problem construction works under jit
+        v_host = _np.broadcast_to(_np.asarray(vec, float),
+                                  (n if is_state else m,))
         v = jnp.broadcast_to(jnp.asarray(vec, dtype), (n if is_state else m,))
-        finite = jnp.isfinite(v)
-        idxs = [i for i in range(v.shape[0]) if bool(finite[i])]
+        idxs = [i for i in range(v_host.shape[0]) if _np.isfinite(v_host[i])]
         for i in idxs:
             cx = jnp.zeros(n, dtype)
             cu = jnp.zeros(m, dtype)

@@ -61,8 +61,12 @@ def build_mpc_problem(cfg: MPCConfig, dtype=jnp.float64):
                                               dtype=dtype))
         else:
             cons.append(C.friction_cone(N, n, m, cfg.mu, inds, dtype=dtype))
-    u_min = jnp.full(m, -jnp.inf).at[2::3].set(cfg.min_vert_force)
-    u_max = jnp.full(m, jnp.inf).at[2::3].set(cfg.max_vert_force)
+    import numpy as _np
+    # bounds are structural (row selection by finiteness) -> host-side numpy
+    u_min = _np.full(m, -_np.inf)
+    u_min[2::3] = cfg.min_vert_force
+    u_max = _np.full(m, _np.inf)
+    u_max[2::3] = cfg.max_vert_force
     cons.append(C.bound_constraint(N, n, m, u_min=u_min, u_max=u_max,
                                    dtype=dtype))
 
