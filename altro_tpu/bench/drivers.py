@@ -123,9 +123,10 @@ def host_lockstep(prob_mpc, opts, X_track, U_track, noise, *, conic=False,
     if verbose:
         print("    [lockstep] baseline compiled", flush=True)
 
+    jcost = jax.jit(lambda p, X, U: p.cost.total(X, U))
     carry = carry0
     rows = dict(altro_ms=[], baseline_ms=[], err_X=[], err_U=[], iters=[],
-                status=[])
+                status=[], cost_altro=[], cost_baseline=[])
     T = noise.shape[0]
     for t in range(T):
         t0 = time.perf_counter()
@@ -143,6 +144,11 @@ def host_lockstep(prob_mpc, opts, X_track, U_track, noise, *, conic=False,
         rows["err_U"].append(float(jnp.max(jnp.abs(out.U - Ub))))
         rows["iters"].append([int(out.iters), int(bit)])
         rows["status"].append([int(out.status), int(bstat)])
+        # cost-parity oracle: both solutions re-evaluated under one cost
+        # (sanity_check_cost / the 3-way cost comparison,
+        # rocket_landing_problem.jl:193-209, simple_rocket.jl:194-203)
+        rows["cost_altro"].append(float(jcost(p_k, out.X, out.U)))
+        rows["cost_baseline"].append(float(jcost(p_k, Xb, Ub)))
     return rows
 
 

@@ -121,8 +121,12 @@ def tracking_objective(Q, R, Qf, X_ref, U_ref, dt: float = 1.0) -> QuadCost:
     Qs = _stack(Q * dt, N).at[N - 1].set(Qf)
     Rs = _stack(R * dt, N).at[N - 1].set(jnp.zeros_like(R))
     Upad = jnp.concatenate([U_ref, jnp.zeros((1, m), U_ref.dtype)], axis=0)
-    qs = -jnp.einsum("ij,kj->ki", Q * dt, X_ref).at[N - 1].set(-Qf @ X_ref[N - 1])
-    rs = -jnp.einsum("ij,kj->ki", R * dt, Upad).at[N - 1].set(jnp.zeros(m, R.dtype))
+    # parenthesize before negating: `-a.at[i].set(v)` binds as
+    # `-(a.at[i].set(v))` and would flip the terminal row's sign
+    qs = (-jnp.einsum("ij,kj->ki", Q * dt, X_ref)).at[N - 1].set(
+        -Qf @ X_ref[N - 1])
+    rs = (-jnp.einsum("ij,kj->ki", R * dt, Upad)).at[N - 1].set(
+        jnp.zeros(m, R.dtype))
     cs = 0.5 * jnp.einsum("ki,ij,kj->k", X_ref, Q * dt, X_ref) \
         + 0.5 * jnp.einsum("ki,ij,kj->k", Upad, R * dt, Upad)
     cs = cs.at[N - 1].set(0.5 * X_ref[N - 1] @ Qf @ X_ref[N - 1])
