@@ -17,16 +17,15 @@ from . import kinematics
 from .srb import mrp_rotation
 
 FOOT_RADIUS = _w.geometry.foot_radius
-NOM_FOOT_LOC = None  # computed lazily (FK of zero joint angles)
+
+# Computed eagerly at import: a lazy cache would capture a tracer if first
+# touched inside a jit trace and leak it into later traces.
+NOM_FOOT_LOC = kinematics.forward_kinematics_all(jnp.zeros(12)).reshape(4, 3)
 
 
 def nominal_foot_locations():
     """Body-frame foot locations at zero joint angles
     (ControllerParams.jl:97-105, foot_dx = foot_dy = 0)."""
-    global NOM_FOOT_LOC
-    if NOM_FOOT_LOC is None:
-        NOM_FOOT_LOC = kinematics.forward_kinematics_all(
-            jnp.zeros(12)).reshape(4, 3)
     return NOM_FOOT_LOC
 
 
