@@ -193,8 +193,12 @@ def random_linear_sweep(kind: str = "horizon", T: int = 50,
         prob_mpc = rl.gen_tracking_mpc(prob, X_track, U_track, N_mpc)
         noise = jnp.asarray(rng.standard_normal((T, n)), dtype)
 
+        # f32 (TPU) cannot reach 1e-6 absolute residuals; use the
+        # reference's own OSQP tolerance there (eps_abs = eps_rel = 1e-4)
+        tight = dtype == jnp.float64
         rows = host_lockstep(prob_mpc, opts, X_track, U_track, noise,
-                             baseline_eps=1e-6, baseline_eps_rel=1e-9)
+                             baseline_eps=1e-6 if tight else 1e-4,
+                             baseline_eps_rel=1e-9 if tight else 1e-4)
         times["ALTRO"][x] = rows["altro_ms"]
         times["ADMM-QP"][x] = rows["baseline_ms"]
         errs[x] = dict(err_X=max(rows["err_X"]), err_U=max(rows["err_U"]),
