@@ -31,7 +31,7 @@ from .dynamics import (
     zoh_discretize,
 )
 from .problem import Problem
-from .solver.altro import Solution, Stats, solve
+from .solver.altro import Solution, Stats, check_status, print_summary, solve
 from .solver.options import SolverOptions
 
 __version__ = "0.1.0"

@@ -1,2 +1,2 @@
-from .altro import Solution, Stats, solve
+from .altro import Solution, Stats, check_status, print_summary, solve
 from .options import SolverOptions

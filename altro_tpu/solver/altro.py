@@ -54,6 +54,30 @@ class Solution:
     stats: Stats
 
 
+def print_summary(sol: Solution) -> None:
+    """Host-side solve summary (parity with Altro's show_summary/verbose,
+    run_simple_rocket.jl:66)."""
+    s = sol.stats
+    status = "SOLVE_SUCCEEDED" if int(s.status) == 1 else "MAX_ITERATIONS"
+    print(f"[altro_tpu] {status}: {int(s.iterations)} iLQR iterations in "
+          f"{int(s.outer_iterations)} AL rounds | cost {float(s.cost):.6g} | "
+          f"max violation {float(s.viol):.3e} | gradient "
+          f"{float(s.gradient):.3e}")
+
+
+def check_status(stats: Stats, context: str = "") -> bool:
+    """Warn on non-success (the reference MPC loops' status guard,
+    random_linear_problem.jl:166-170 / altro_solver.jl:81-85)."""
+    import warnings
+
+    ok = bool(jnp.all(stats.status == 1))
+    if not ok:
+        n_fail = int(jnp.sum(stats.status == 0))
+        warnings.warn(f"solver status: {n_fail} unsuccessful solve(s)"
+                      + (f" in {context}" if context else ""))
+    return ok
+
+
 # ----------------------------------------------------------------------------
 # AL cost and expansion
 # ----------------------------------------------------------------------------
