@@ -205,7 +205,16 @@ def _solve_impl(work: ADMMQPWork, x0: Optional[jnp.ndarray] = None,
 
         x_n, z_n, y_n = jax.lax.fori_loop(0, CHUNK, inner, (x, z, y))
 
+        # Non-finite guard (seen on TPU f32 with aggressive rho): revert the
+        # chunk and pull rho toward a safer value before refactoring.
+        finite = jnp.all(jnp.isfinite(x_n)) & jnp.all(jnp.isfinite(y_n)) \
+            & jnp.all(jnp.isfinite(z_n))
+        x_n = jnp.where(finite, x_n, x)
+        z_n = jnp.where(finite, z_n, z)
+        y_n = jnp.where(finite, y_n, y)
+
         rp_n, rd_n, done_n = unscaled_residuals(x_n, z_n, y_n)
+        done_n = done_n & finite
 
         # OSQP-style adaptive rho on relative scaled residuals, with
         # refactorization when rho moves meaningfully.
@@ -219,10 +228,17 @@ def _solve_impl(work: ADMMQPWork, x0: Optional[jnp.ndarray] = None,
                         jnp.maximum(jnp.max(jnp.abs(Aty)),
                                     jnp.max(jnp.abs(qs)))), 1e-10)
         ratio = jnp.sqrt(rp_rel / jnp.maximum(rd_rel, 1e-16))
-        rho_prop = jnp.clip(rho * ratio, 1e-6, 1e6)
-        adapt = (~done_n) & ((rho_prop > 5.0 * rho) | (rho_prop < rho / 5.0))
+        rho_prop = jnp.clip(rho * ratio, 1e-4, 1e4)
+        rho_prop = jnp.where(finite, rho_prop, jnp.maximum(rho * 0.1, 1e-4))
+        adapt = (~done_n) & (
+            (~finite) | (rho_prop > 5.0 * rho) | (rho_prop < rho / 5.0))
         rho_n = jnp.where(adapt, rho_prop, rho)
-        chol_n = jax.lax.cond(adapt, factor, lambda _: chol, rho_n)
+        chol_raw = jax.lax.cond(adapt, factor, lambda _: chol, rho_n)
+        # a non-PD factorization poisons everything downstream: keep the old
+        # factor (and old rho) if the new one contains non-finite entries
+        chol_ok = jnp.all(jnp.isfinite(chol_raw))
+        chol_n = jnp.where(chol_ok, chol_raw, chol)
+        rho_n = jnp.where(chol_ok, rho_n, rho)
 
         out = (x_n, z_n, y_n, rho_n, chol_n, it + CHUNK, rp_n, rd_n, done_n)
         return jax.tree_util.tree_map(

@@ -30,7 +30,7 @@ def main():
     from altro_tpu.mpc import run_mpc
 
     B = int(os.environ.get("BENCH_BATCH", 1024))
-    T = int(os.environ.get("BENCH_STEPS", 50))
+    T = int(os.environ.get("BENCH_STEPS", 30))
     N_mpc = 30
     n, m = 12, 6
     dtype = jnp.float32
