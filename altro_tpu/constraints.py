@@ -237,6 +237,34 @@ def al_terms(con: ConicConstraint, dual: DualState, X, U):
     return value, grad_c, curv_c
 
 
+def al_terms_structured(con, dual: DualState, X, U):
+    """Like :func:`al_terms` but returns the curvature in the cheapest
+    structured form per cone:
+
+      ZERO:   ('diag', w [N,p])  with w = rho * mask        (J = I)
+      NONPOS: ('diag', w [N,p])  with w = rho * active * mask
+      SOC:    ('dense', H [N,p,p])
+
+    The diagonal forms let the solver's expansion contract
+    C' diag(w) C directly instead of materializing [N, p, p] Jacobians —
+    the dominant cost of the AL expansion for box/linear constraints.
+    """
+    c = con.evaluate(X, U)
+    z = dual.lam + dual.rho[:, None] * c
+    ct = project_polar(con.cone, z)
+    g = ct * con.mask[:, None]
+    if con.cone == Cone.ZERO:
+        w = jnp.broadcast_to((dual.rho * con.mask)[:, None], z.shape)
+        return g, ("diag", w)
+    if con.cone == Cone.NONPOS:
+        active = (z > 0.0).astype(z.dtype)
+        w = (dual.rho[:, None] * active) * con.mask[:, None]
+        return g, ("diag", w)
+    J = project_polar_jacobian(con.cone, z)
+    H = (dual.rho[:, None, None] * J) * con.mask[:, None, None]
+    return g, ("dense", H)
+
+
 def al_cost(con: ConicConstraint, dual: DualState, X, U):
     """Penalty value only (cheap path for line search)."""
     c = con.evaluate(X, U)

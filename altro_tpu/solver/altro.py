@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..constraints import ConicConstraint, DualState, al_cost, al_terms
+from ..constraints import (ConicConstraint, DualState, al_cost, al_terms,
+                           al_terms_structured)
 from ..cones import project_polar
 from ..dynamics import LTVDynamics
 from ..problem import Problem
@@ -98,13 +99,22 @@ def al_expansion(prob: Problem, duals, X, U):
     """
     lx, lu, lxx, luu, lux = prob.cost.expansion(X, U)
     for con, dual in zip(prob.constraints, duals):
-        _, g, Hc = al_terms(con, dual, X, U)
+        g, (kind, H) = al_terms_structured(con, dual, X, U)
         Cx, Cu = con.jacobians(X, U)  # constants for affine blocks
         lx = lx + jnp.einsum("kpn,kp->kn", Cx, g)
         lu = lu + jnp.einsum("kpm,kp->km", Cu, g)
-        lxx = lxx + jnp.einsum("kpi,kpq,kqj->kij", Cx, Hc, Cx)
-        luu = luu + jnp.einsum("kpi,kpq,kqj->kij", Cu, Hc, Cu)
-        lux = lux + jnp.einsum("kpi,kpq,kqj->kij", Cu, Hc, Cx)
+        if kind == "diag":
+            # orthant/zero cones: curvature is diagonal — contract
+            # C' diag(w) C without materializing [N, p, p] Jacobians
+            WCx = H[:, :, None] * Cx
+            WCu = H[:, :, None] * Cu
+            lxx = lxx + jnp.einsum("kpi,kpj->kij", Cx, WCx)
+            luu = luu + jnp.einsum("kpi,kpj->kij", Cu, WCu)
+            lux = lux + jnp.einsum("kpi,kpj->kij", Cu, WCx)
+        else:
+            lxx = lxx + jnp.einsum("kpi,kpq,kqj->kij", Cx, H, Cx)
+            luu = luu + jnp.einsum("kpi,kpq,kqj->kij", Cu, H, Cu)
+            lux = lux + jnp.einsum("kpi,kpq,kqj->kij", Cu, H, Cx)
         if not con.is_affine:
             # exact multiplier-weighted constraint curvature (full Newton on
             # the AL for nonlinear blocks; affine blocks contribute none)
