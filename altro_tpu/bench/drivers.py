@@ -124,9 +124,19 @@ def host_lockstep(prob_mpc, opts, X_track, U_track, noise, *, conic=False,
         print("    [lockstep] baseline compiled", flush=True)
 
     jcost = jax.jit(lambda p, X, U: p.cost.total(X, U))
+
+    # inf-norm dynamics violation of the baseline's trajectory
+    # (dynamics_violation, simple_rocket.jl:208-216)
+    def _dyn_viol(p, X, U):
+        X_next = jax.vmap(p.dynamics.step)(X[:-1], U,
+                                           jnp.arange(U.shape[0]))
+        return jnp.max(jnp.abs(X_next - X[1:]))
+
+    jdyn = jax.jit(_dyn_viol)
     carry = carry0
     rows = dict(altro_ms=[], baseline_ms=[], err_X=[], err_U=[], iters=[],
-                status=[], cost_altro=[], cost_baseline=[])
+                status=[], cost_altro=[], cost_baseline=[],
+                baseline_dyn_viol=[])
     T = noise.shape[0]
     for t in range(T):
         t0 = time.perf_counter()
@@ -149,6 +159,7 @@ def host_lockstep(prob_mpc, opts, X_track, U_track, noise, *, conic=False,
         # rocket_landing_problem.jl:193-209, simple_rocket.jl:194-203)
         rows["cost_altro"].append(float(jcost(p_k, out.X, out.U)))
         rows["cost_baseline"].append(float(jcost(p_k, Xb, Ub)))
+        rows["baseline_dyn_viol"].append(float(jdyn(p_k, Xb, Ub)))
     return rows
 
 
