@@ -61,6 +61,7 @@ def main():
     carry, out = vstep(carry0, noise[0])  # compile
     jax.block_until_ready(carry)
 
+    # throughput pass: async dispatch, fence once (pipelining hides RTT)
     carry = carry0
     statuses, viols, iters = [], [], []
     t0 = time.perf_counter()
@@ -71,6 +72,15 @@ def main():
         iters.append(out.iters)
     jax.block_until_ready(carry)
     dt = time.perf_counter() - t0
+
+    # latency pass: per-step fenced (includes host/tunnel round trip)
+    step_ms = []
+    carry_l = carry0
+    for t in range(min(T, 10)):
+        ts = time.perf_counter()
+        carry_l, out_l = vstep(carry_l, noise[t])
+        jax.block_until_ready(out_l.status)
+        step_ms.append((time.perf_counter() - ts) * 1e3)
 
     solves = B * T
     solves_per_s = solves / dt
@@ -87,9 +97,13 @@ def main():
     print(json.dumps(out))
     # diagnostics on stderr so stdout stays one JSON line
     import sys
+    # p99 step latency vs the reference's real-time budgets (30 ms quadruped
+    # MPC update; ~1-2 ms solves) — the BASELINE.json metric's second axis.
+    p50, p99 = np.percentile(step_ms, [50, 99])
     print(f"# B={B} T={T} wall={dt:.3f}s success_rate={success:.4f} "
-          f"max_viol={max_viol:.2e} mean_iters={float(jnp.mean(res_iters)):.2f}",
-          file=sys.stderr)
+          f"max_viol={max_viol:.2e} mean_iters={float(jnp.mean(res_iters)):.2f} "
+          f"step_ms_p50={p50:.2f} p99={p99:.2f} (all {B} scenarios/step; "
+          f"30ms real-time budget)", file=sys.stderr)
 
 
 if __name__ == "__main__":
