@@ -4,9 +4,11 @@ This is the core deliverable: the equivalent of Altro.jl's `socp`-branch
 solver consumed by every reference benchmark (SURVEY.md section 3.5), rebuilt
 for XLA:
 
-- backward Riccati pass as a single ``lax.scan`` over the horizon
-- forward closed-loop rollout as ``lax.scan`` + backtracking line search in a
-  bounded ``lax.while_loop``
+- backward Riccati pass as a single ``lax.scan`` over the horizon; under
+  ``vmap`` on TPU it dispatches to the fused Pallas kernel (ops/riccati.py)
+- parallel line search: the whole backtracking ladder of step sizes is
+  rolled out at once (fused Pallas ladder kernel on TPU, ops/rollout.py) and
+  the largest admissible alpha selected — no sequential backtracking loop
 - conic AL outer loop (dual update by polar-cone projection, geometric
   penalty scaling) as a ``lax.while_loop``
 - every update masked on a ``done`` flag so the solve is ``vmap``-safe:
