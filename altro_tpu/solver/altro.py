@@ -99,8 +99,12 @@ def al_expansion(prob: Problem, duals, X, U):
     All constraint blocks are affine, so the Gauss-Newton AL curvature
     C^T (rho * Jpolar) C is exact up to the projection kink.
     """
-    lx, lu, lxx, luu, lux = prob.cost.expansion(X, U)
-    for con, dual in zip(prob.constraints, duals):
+    return _al_expansion_cd(prob.cost, prob.constraints, duals, X, U)
+
+
+def _al_expansion_cd(cost, constraints, duals, X, U):
+    lx, lu, lxx, luu, lux = cost.expansion(X, U)
+    for con, dual in zip(constraints, duals):
         g, (kind, H) = al_terms_structured(con, dual, X, U)
         Cx, Cu = con.jacobians(X, U)  # constants for affine blocks
         lx = lx + jnp.einsum("kpn,kp->kn", Cx, g)
@@ -213,6 +217,74 @@ def _backward_pass_vmap(axis_size, in_batched, A, B, lx, lu, lxx, luu, lux,
         out = batched_riccati(A, B, lx, lu, lxx, luu, lux, reg)
     else:
         out = jax.vmap(_backward_pass_scan)(A, B, lx, lu, lxx, luu, lux, reg)
+    return out, (True, True, True, True)
+
+
+# ----------------------------------------------------------------------------
+# Fused expansion + backward pass (LTV fast path with a Pallas-batched rule)
+# ----------------------------------------------------------------------------
+
+def _expand_backward_base(cost, dynA, dynB, blocks, X, U, lams, rhos, reg):
+    duals = tuple(DualState(lam=l, rho=r) for l, r in zip(lams, rhos))
+    lx, lu, lxx, luu, lux = _al_expansion_cd(cost, blocks, duals, X, U)
+    return _backward_pass_scan(dynA, dynB, lx, lu, lxx, luu, lux, reg)
+
+
+@jax.custom_batching.custom_vmap
+def expand_backward(cost, dynA, dynB, blocks, X, U, lams, rhos, reg):
+    """AL expansion + Riccati backward pass as one boundary. A single solve
+    composes the XLA pieces; a vmapped solve on TPU dispatches to the fused
+    Pallas kernel (ops/riccati_fused.py), which reads the SHARED problem
+    data as scalars and keeps every per-lane op at full vector width — the
+    AL expansion was the dominant cost of the batched iteration."""
+    return _expand_backward_base(cost, dynA, dynB, blocks, X, U, lams, rhos,
+                                 reg)
+
+
+@expand_backward.def_vmap
+def _expand_backward_vmap(axis_size, in_batched, cost, dynA, dynB, blocks,
+                          X, U, lams, rhos, reg):
+    import os
+
+    from ..ops.riccati_fused import fused_expand_backward, fused_supported
+
+    shared_unbatched = not any(
+        jax.tree_util.tree_leaves((in_batched[0], in_batched[1],
+                                   in_batched[2], in_batched[3])))
+    lane_batched = (in_batched[4] and in_batched[5]
+                    and all(jax.tree_util.tree_leaves((in_batched[6],
+                                                       in_batched[7]))))
+    if not in_batched[8]:
+        reg = jnp.broadcast_to(reg, (axis_size,) + jnp.shape(reg))
+    cones = tuple(c.cone for c in blocks)
+    use_pallas = (
+        shared_unbatched and lane_batched
+        and X.ndim == 3
+        and os.environ.get("ALTRO_TPU_PALLAS", "auto") != "0"
+        and jax.default_backend() not in ("cpu",)
+        and X.dtype == jnp.float32
+        and fused_supported(X.shape[-1], U.shape[-1], axis_size, cones))
+    if use_pallas:
+        out = fused_expand_backward(cost, dynA, dynB, blocks, X, U, lams,
+                                    rhos, reg)
+    else:
+        def bcast(tree, flags):
+            return jax.tree_util.tree_map(
+                lambda a, b: a if b else jnp.broadcast_to(
+                    a, (axis_size,) + jnp.shape(a)),
+                tree, flags)
+
+        cost_b = bcast(cost, in_batched[0])
+        dynA_b = bcast(dynA, in_batched[1])
+        dynB_b = bcast(dynB, in_batched[2])
+        blocks_b = bcast(blocks, in_batched[3])
+        X_b = bcast(X, in_batched[4])
+        U_b = bcast(U, in_batched[5])
+        lams_b = bcast(lams, in_batched[6])
+        rhos_b = bcast(rhos, in_batched[7])
+        out = jax.vmap(_expand_backward_base,
+                       in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))(
+            cost_b, dynA_b, dynB_b, blocks_b, X_b, U_b, lams_b, rhos_b, reg)
     return out, (True, True, True, True)
 
 
@@ -368,15 +440,31 @@ def _solve(prob: Problem, opts: SolverOptions,
 
         def body(s):
             X, U, J, K, reg, grad, it, done = s
-            A, B, _ = prob.dynamics.linearize(X, U)
-            lx, lu, lxx, luu, lux = al_expansion(prob, duals, X, U)
-            if opts.parallel_riccati:
-                from ..ops.parallel_riccati import parallel_backward_pass
-                Knew, dff, dV1, dV2 = parallel_backward_pass(
-                    A, B, lx, lu, lxx, luu, lux, reg)
+            # The fully-fused expansion+backward kernel is EXPERIMENTAL:
+            # its scalar-heavy Mosaic lowering hangs the remote TPU compiler
+            # (round-2 item; see CLAUDE.md). Opt in with ALTRO_TPU_FUSED=1.
+            import os as _os
+            use_fused = (_os.environ.get("ALTRO_TPU_FUSED") == "1"
+                         and isinstance(prob.dynamics, LTVDynamics)
+                         and not opts.parallel_riccati
+                         and all(getattr(c, "is_affine", False)
+                                 for c in prob.constraints))
+            if use_fused:
+                lams = tuple(d.lam for d in duals)
+                rhos = tuple(d.rho for d in duals)
+                Knew, dff, dV1, dV2 = expand_backward(
+                    prob.cost, prob.dynamics.A, prob.dynamics.B,
+                    prob.constraints, X, U, lams, rhos, reg)
             else:
-                Knew, dff, dV1, dV2 = backward_pass(
-                    A, B, lx, lu, lxx, luu, lux, reg)
+                A, B, _ = prob.dynamics.linearize(X, U)
+                lx, lu, lxx, luu, lux = al_expansion(prob, duals, X, U)
+                if opts.parallel_riccati:
+                    from ..ops.parallel_riccati import parallel_backward_pass
+                    Knew, dff, dV1, dV2 = parallel_backward_pass(
+                        A, B, lx, lu, lxx, luu, lux, reg)
+                else:
+                    Knew, dff, dV1, dV2 = backward_pass(
+                        A, B, lx, lu, lxx, luu, lux, reg)
 
             # Gradient metric (parity with Altro's d-based gradient check).
             grad_new = jnp.max(
