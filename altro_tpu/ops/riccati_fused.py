@@ -280,9 +280,11 @@ def fused_expand_backward(cost, dynA, dynB, blocks, X, U, lams, rhos, reg,
     inputs += [pair(lm(l)) for l in lams]           # [N1, 2, p, Bt] each
 
     def sh(*s):
+        # shared problem data: scalar reads -> SMEM (scalar memory); VMEM
+        # scalar extraction makes the Mosaic lowering explode
         return pl.BlockSpec(
             (1,) + s, lambda b, k: (N1 - 1 - k,) + (0,) * len(s),
-            memory_space=pltpu.VMEM)
+            memory_space=pltpu.SMEM)
 
     def ln(*s):
         return pl.BlockSpec(
