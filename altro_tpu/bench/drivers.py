@@ -401,6 +401,14 @@ def quadruped_benchmark(tf: float = 2.0, dtype=jnp.float64):
                           success=float(status.mean()))
         print(f"  {name}: {rows[name]['ms_per_solve']:.3f} ms/solve "
               f"(success {rows[name]['success']:.2f})", flush=True)
+
+    # results table (plots/create_figures.jl + table.tex analog)
+    lines = ["| configuration | ms/solve | success |", "|---|---|---|"]
+    for k, v in rows.items():
+        lines.append(f"| {k} | {v['ms_per_solve']:.3f} | "
+                     f"{v['success']:.2f} |")
+    rows["table_md"] = "\n".join(lines)
+    print("\n".join(lines), flush=True)
     return rows
 
 

@@ -112,14 +112,34 @@ def test_altro_vs_admm_qp_same_forces(mpc_scenario):
 
     opts_tight = OPTS.replace(cost_tolerance=1e-6, constraint_tolerance=1e-6,
                               gradient_tolerance=1e-8)
-    f_altro, _, _, it_a, st_a = controller.mpc_solve_forces(
+    f_altro, U_a, _, it_a, st_a = controller.mpc_solve_forces(
         "altro", prob, opts_tight, x_curr, x_ref, contacts, foot_locs,
         cfg.dynamics_discretization, U0, duals)
-    f_qp, _, _, it_q, st_q = controller.mpc_solve_forces(
+    f_qp, U_q, _, it_q, st_q = controller.mpc_solve_forces(
         "admm_qp", prob, opts_tight.replace(cost_tolerance=1e-8), x_curr,
         x_ref, contacts, foot_locs, cfg.dynamics_discretization, U0, duals)
     assert int(st_a) == 1 and int(st_q) == 1
     np.testing.assert_allclose(f_altro, f_qp, atol=2e-3)
+
+    # remaining test_same_solution assertions (mujoco_test.jl:138-210):
+    # friction-pyramid feasibility of both solutions + cost parity
+    mu = cfg.mu
+    for U_sol in (U_a, U_q):
+        F = np.asarray(U_sol).reshape(-1, 4, 3)
+        fz = np.maximum(F[:, :, 2], 0.0)
+        assert np.all(np.abs(F[:, :, 0]) <= mu * fz + 1e-3)
+        assert np.all(np.abs(F[:, :, 1]) <= mu * fz + 1e-3)
+    from altro_tpu.models.quadruped.srb import linearize_horizon
+    dyn = linearize_horizon(x_ref, jnp.zeros((cfg.N, 12)), foot_locs,
+                            contacts, cfg.dynamics_discretization)
+    prob_k = prob.replace(dynamics=dyn, x0=x_curr)
+
+    def rollout_cost(U_sol):
+        X_sol = prob_k.dynamics.rollout(x_curr, U_sol)
+        return float(prob_k.cost.total(X_sol, U_sol))
+
+    ca, cq = rollout_cost(U_a), rollout_cost(U_q)
+    assert abs(ca - cq) / max(abs(ca), 1.0) < 1e-3  # cost parity
 
 
 def test_altro_soc_vs_admm_conic_same_forces(mpc_scenario):
