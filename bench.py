@@ -112,4 +112,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # one retry: the TPU tunnel occasionally drops a claim mid-run
+    # ("UNAVAILABLE: TPU device error"); a fresh attempt typically succeeds
+    try:
+        main()
+    except Exception as e:  # pragma: no cover
+        import sys
+        import traceback
+        print(f"# bench attempt 1 failed ({type(e).__name__}); retrying",
+              file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
+        main()
