@@ -86,7 +86,17 @@ def mpc_solve_forces(backend: str, prob: Problem, opts: SolverOptions,
     """One MPC solve (foot_forces! dispatch, altro_solver.jl:44-88 /
     osqp_solver.jl / ecos_solver.jl). Relinearizes about (x_ref, 0) with the
     horizon contact schedule, warm-starts, solves, returns forces [12]."""
-    u_ref = jnp.zeros((prob.N, 12), x_curr.dtype)
+    # Deviation from altro_solver.jl:56 (u_ref = 0): linearize about the
+    # gravity-distributing stance forces (m g / n_stance vertical per stance
+    # foot). At u_ref = 0 the Jacobians lose the force-position coupling
+    # d(torque)/d(p) entirely, so the MPC cannot see the tipping moment a
+    # lateral CoM offset creates — invisible under MuJoCo's compliant legs,
+    # but destabilizing against the rigid pinned-feet SRB plant. The affine
+    # residual d = f(xbar, ubar) - A xbar - B ubar keeps the model exact at
+    # the linearization point either way.
+    nst = jnp.maximum(jnp.sum(contacts, axis=1, keepdims=True), 1.0)
+    fz_ref = SPRUNG_MASS * 9.81 / nst * contacts            # [N, 4]
+    u_ref = jnp.zeros((prob.N, 12), x_curr.dtype).at[:, 2::3].set(fz_ref)
     dyn = linearize_horizon(x_ref, u_ref, foot_locs, contacts, dt_mpc)
     prob_k = prob.replace(dynamics=dyn, x0=x_curr)
 
@@ -107,6 +117,32 @@ def mpc_solve_forces(backend: str, prob: Problem, opts: SolverOptions,
         _, Uc = admm_conic.extract_traj(cp, csol.x)
         return Uc[0], Uc, duals, csol.iterations, csol.status
     raise ValueError(backend)
+
+
+@struct.dataclass
+class PlantParams:
+    """True-plant parameters for model-mismatch closed loops (the role of
+    MuJoCo's independent contact physics, mujoco_test.jl:20-89). The MPC
+    always linearizes the nominal model; the plant integrates with these.
+
+    ``foot_offset`` [3] shifts the world foot positions the plant's force
+    model sees (foot-position estimation error); ``kick_impulse`` [3] is a
+    one-shot body-frame velocity impulse applied at ``kick_t`` seconds."""
+
+    mass_scale: jnp.ndarray = struct.field(default=None)
+    inertia_scale: jnp.ndarray = struct.field(default=None)
+    foot_offset: jnp.ndarray = struct.field(default=None)
+    kick_impulse: jnp.ndarray = struct.field(default=None)
+    kick_t: jnp.ndarray = struct.field(default=None)
+
+    @staticmethod
+    def nominal(dtype=jnp.float64) -> "PlantParams":
+        return PlantParams(
+            mass_scale=jnp.ones((), dtype),
+            inertia_scale=jnp.ones((), dtype),
+            foot_offset=jnp.zeros(3, dtype),
+            kick_impulse=jnp.zeros(3, dtype),
+            kick_t=jnp.full((), -1.0, dtype))
 
 
 @struct.dataclass
@@ -144,7 +180,8 @@ def initial_state(prob: Problem, x_des, opts, dtype=jnp.float64) -> SimState:
     )
 
 
-def control_tick(state: SimState, t, gait: Gait, cfg: MPCConfig, x_des):
+def control_tick(state: SimState, t, gait: Gait, cfg: MPCConfig, x_des,
+                 plant: Optional[PlantParams] = None):
     """One 1 kHz tick: swing state machine + plant integration
     (control!, control.jl:1-112, branchless)."""
     x = state.x
@@ -193,7 +230,17 @@ def control_tick(state: SimState, t, gait: Gait, cfg: MPCConfig, x_des):
         omega=cfg.swing_omega, zeta=cfg.swing_zeta))(jnp.arange(4))
 
     # plant step: stance feet pinned, swing feet track their splines
-    x_new = rk4_plant(x, state.forces, state.feet_w, active, DT_SIM)
+    if plant is None:
+        x_new = rk4_plant(x, state.forces, state.feet_w, active, DT_SIM)
+    else:
+        x_new = rk4_plant(x, state.forces,
+                          state.feet_w + plant.foot_offset[None, :], active,
+                          DT_SIM, plant.mass_scale, plant.inertia_scale)
+        # one-shot velocity impulse (contact-kick disturbance): applied on
+        # the single tick containing kick_t
+        kicked = (t <= plant.kick_t) & (plant.kick_t < t + DT_SIM)
+        x_new = x_new.at[6:9].add(
+            jnp.where(kicked, plant.kick_impulse, 0.0))
     spline_pos = jax.vmap(
         lambda l: swing.swing_foot_target(coeffs[l], t + DT_SIM)[0]
     )(jnp.arange(4))
@@ -216,12 +263,15 @@ def control_tick(state: SimState, t, gait: Gait, cfg: MPCConfig, x_des):
 
 
 def simulate(cfg: MPCConfig, opts: SolverOptions, tf: float = 2.0,
-             backend: str = "altro", dtype=jnp.float64):
+             backend: str = "altro", dtype=jnp.float64,
+             plant: Optional[PlantParams] = None):
     """Closed-loop trot (quadruped_benchmark.jl:1-55 / mujoco_simulate).
 
     Hierarchical scan: outer over MPC periods (cfg.update_dt), inner over
     1 kHz ticks. Returns per-period records (body state, forces, iterations,
-    solver status).
+    solver status). Pass ``plant`` to run the true plant with perturbed
+    parameters while the MPC keeps the nominal model (model-mismatch
+    validation; mujoco_test.jl:20-89 role).
     """
     gait = GAITS[cfg.gait_type](cfg.stance_time, cfg.swing_time)
     prob, x_des = build_mpc_problem(cfg, dtype)
@@ -236,12 +286,9 @@ def simulate(cfg: MPCConfig, opts: SolverOptions, tf: float = 2.0,
 
         # MPC: reference, horizon schedule, solve
         x_ref = jnp.tile(x_des, (cfg.N, 1))  # reference_trajectory!
-        rot = mrp_rotation(state.x[3:6])
-        feet_b = jnp.einsum("ji,kj->ki", rot,
-                            state.feet_w - state.x[0:3][None, :])
         contacts, foot_locs, planner_fl = planner.foot_history(
-            t, x_ref, feet_b, state.planner_foot_loc, gait, x_des, cfg.N,
-            cfg.dynamics_discretization)
+            t, x_ref, state.feet_w, state.planner_foot_loc, gait, x_des,
+            cfg.N, cfg.dynamics_discretization)
         forces, U_new, duals, iters, status = mpc_solve_forces(
             backend, prob, opts, state.x, x_ref, contacts, foot_locs,
             cfg.dynamics_discretization, state.U_prev, state.duals)
@@ -250,7 +297,7 @@ def simulate(cfg: MPCConfig, opts: SolverOptions, tf: float = 2.0,
 
         def tick(s, j):
             tj = t + j.astype(dtype) * DT_SIM
-            s, torques = control_tick(s, tj, gait, cfg, x_des)
+            s, torques = control_tick(s, tj, gait, cfg, x_des, plant)
             return s, None
 
         state, _ = jax.lax.scan(tick, state, jnp.arange(ticks_per_mpc))

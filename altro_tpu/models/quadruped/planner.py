@@ -42,16 +42,24 @@ def footstep_location(x_est, rot, cur_phase, leg, gait: Gait, x_des):
                             jnp.asarray([FOOT_RADIUS], x_est.dtype)])
 
 
-def foot_history(t, x_ref, cur_foot_loc_b, planner_foot_loc, gait: Gait,
+def foot_history(t, x_ref, feet_w, planner_foot_loc, gait: Gait,
                  x_des, N: int, dt_mpc):
     """Horizon contact schedule + world foot locations for the MPC
     (foot_history!, footsteps.jl:29-84).
 
-    x_ref: [N, 12] reference states; cur_foot_loc_b: [4, 3] body-frame feet.
+    x_ref: [N, 12] reference states; feet_w: [4, 3] current WORLD-frame feet.
     Returns (contacts [N, 4], foot_locs [N, 4, 3], planner_foot_loc [4, 3]).
-    """
-    rot0 = mrp_rotation(x_ref[0, 3:6])
-    prev_locs = x_ref[0, 0:3][None, :] + cur_foot_loc_b @ rot0.T
+
+    Deviation from the reference: footsteps.jl:43-44 reconstructs the current
+    world feet from body-frame feet using x_ref[1] (= x_des, the upright
+    desired pose), which injects a moment-arm error of first order in the
+    body's pose error — under MuJoCo's compliant stance legs that error is
+    filtered, but against a rigid pinned-feet SRB plant it destabilizes the
+    trot's roll mode after any lateral disturbance. Here the true world feet
+    are passed straight through (the controller knows them exactly);
+    future-knot placements still come from the x_ref pose as in the
+    reference."""
+    prev_locs = feet_w
 
     prev_phase = gait.phase_at(t)
     contacts0 = gait.contact_phases[prev_phase]

@@ -60,10 +60,15 @@ def mrp_from_quat(q):
     return q[1:] / (1.0 + q[0])
 
 
-def continuous_dynamics(x, u, foot_locs, contacts):
+def continuous_dynamics(x, u, foot_locs, contacts,
+                        mass_scale=1.0, inertia_scale=1.0):
     """Nonlinear SRB xdot (linearized_dynamics.jl:1-36).
 
     foot_locs: [4, 3] world-frame foot positions; contacts: [4] {0,1}.
+    ``mass_scale``/``inertia_scale`` perturb the true plant away from the
+    controller's nominal model (the model-mismatch role MuJoCo's contact
+    physics plays in mujoco_test.jl:20-89); the MPC always linearizes the
+    nominal (scale = 1) model.
     """
     p = x[0:3]
     phi = x[3:6]
@@ -76,13 +81,14 @@ def continuous_dynamics(x, u, foot_locs, contacts):
 
     F = u.reshape(4, 3) * contacts[:, None]
     force_sum = jnp.array([0.0, 0.0, -GRAVITY], x.dtype) \
-        + jnp.sum(F, axis=0) / SPRUNG_MASS
+        + jnp.sum(F, axis=0) / (SPRUNG_MASS * mass_scale)
 
     r_b = jnp.einsum("ji,kj->ki", rot, foot_locs - p)   # rot' * (r - p)
     F_b = jnp.einsum("ji,kj->ki", rot, F)               # rot' * F
     torque_sum = jnp.sum(jnp.einsum("kij,kj->ki", _skew_batch(r_b), F_b), axis=0)
 
-    omegad = J_INV @ (-skew(omega) @ (J_BODY @ omega) + torque_sum)
+    omegad = (J_INV / inertia_scale) @ (
+        -skew(omega) @ ((J_BODY * inertia_scale) @ omega) + torque_sum)
     return jnp.concatenate([pd, phid, force_sum, omegad])
 
 
@@ -105,9 +111,15 @@ def linearize_horizon(x_ref, u_ref, foot_locs, contacts, dt) -> LTVDynamics:
     return LTVDynamics(A=A, B=B, d=d)
 
 
-def rk4_plant(x, u, foot_locs, contacts, dt):
-    """RK4 integration of the nonlinear SRB — the MuJoCo stand-in plant."""
-    f = lambda xx: continuous_dynamics(xx, u, foot_locs, contacts)
+def rk4_plant(x, u, foot_locs, contacts, dt,
+              mass_scale=1.0, inertia_scale=1.0):
+    """RK4 integration of the nonlinear SRB — the MuJoCo stand-in plant.
+    ``mass_scale``/``inertia_scale`` != 1 give the true plant different
+    parameters from the controller's nominal model (model-mismatch
+    validation, the role of MuJoCo's independent physics in
+    mujoco_test.jl:20-89)."""
+    f = lambda xx: continuous_dynamics(xx, u, foot_locs, contacts,
+                                       mass_scale, inertia_scale)
     k1 = f(x)
     k2 = f(x + 0.5 * dt * k1)
     k3 = f(x + 0.5 * dt * k2)

@@ -45,6 +45,12 @@ def foot_trajectory_coeffs(x_est, rot, foot_loc_cur_b, foot_vel_b,
     foot_loc_cur_n = x_est[0:3] + rot @ foot_loc_cur_b
     foot_vel_n = x_est[6:9] + rot @ foot_vel_b
 
+    # a replan in the last instants of swing would make t0 ~= tf and the
+    # Vandermonde-style endpoint system singular (NaN coefficients poison
+    # the whole branchless state machine); clamp to a 10 ms minimum spline
+    # duration instead — the foot simply lands a hair later
+    tf = jnp.maximum(tf, t0 + 0.01)
+
     cx = _cubic_coeffs_pv(t0, tf, foot_loc_cur_n[0], next_foot_loc[0],
                           foot_vel_n[0], 0.0)
     cy = _cubic_coeffs_pv(t0, tf, foot_loc_cur_n[1], next_foot_loc[1],

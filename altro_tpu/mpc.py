@@ -168,20 +168,27 @@ class LockstepResults:
     viol: jnp.ndarray        # [T]
 
 
-def _qp_shift_warmstart(qp, x, y, n, m, N):
+def _qp_shift_warmstart(x, y, n, m, N, ps):
     """Shift QP primal/dual warm starts one knot (parity with the circshift
     warm start at random_linear_problem.jl:150-157). Layout: primal knots of
-    (n+m); rows = dynamics (N-1)*n, x0 n, then per-knot constraint rows."""
+    (n+m); rows = dynamics (N-1)*n, x0 n, then constraint blocks, each
+    contributing N*p contiguous knot-major rows. Each block's segment is
+    shifted independently by its own p, tail filled by repeating the last
+    knot (the rows are block-major, so a single roll of the concatenated
+    tail would land duals in the wrong block)."""
     xf = x[-n:]
     x_s = jnp.roll(x, -(n + m))
     x_s = x_s.at[-n:].set(xf)
 
     lam_dyn = jnp.roll(y[:(N - 1) * n], -n)
     lam_x0 = y[(N - 1) * n:N * n]
-    rest = y[N * n:]
-    p_total = rest.shape[0] // N if N else 0
-    lam_rest = jnp.roll(rest, -p_total) if rest.shape[0] else rest
-    return x_s, jnp.concatenate([lam_dyn, lam_x0, lam_rest])
+    segs = [lam_dyn, lam_x0]
+    off = N * n
+    for p in ps:
+        seg = y[off:off + N * p].reshape(N, p)
+        segs.append(jnp.concatenate([seg[1:], seg[-1:]], axis=0).reshape(-1))
+        off += N * p
+    return x_s, jnp.concatenate(segs)
 
 
 def run_mpc_lockstep(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
@@ -227,7 +234,8 @@ def run_mpc_lockstep(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
             work = work0.replace(qp=qp_k)
         else:
             work = admm_qp.setup(qp_k)
-        xw, yw = _qp_shift_warmstart(qp_k, xq, yq, n, m, N)
+        ps = tuple(c.p for c in prob_mpc.constraints)
+        xw, yw = _qp_shift_warmstart(xq, yq, n, m, N, ps)
         qsol = admm_qp.solve(work, x0=xw, y0=yw, eps_abs=qp_eps,
                              max_iter=qp_max_iter)
         Xq, Uq = admm_qp.extract_traj(qp_k, qsol.x)

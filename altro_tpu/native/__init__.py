@@ -5,4 +5,4 @@ ECOS) behind Julia bindings; here the native layer is an independent C++
 dense ADMM QP solver used as a foreign-codebase oracle in the test suite
 (and available as a host-side fallback solver). Built on demand with g++.
 """
-from .qp import NativeQPSolution, available, solve_qp
+from .qp import NativeQPSolution, available, solve_conic, solve_qp

@@ -1,33 +1,55 @@
-"""ctypes binding for the native C++ ADMM QP solver (qp_solver.cpp).
+"""ctypes binding for the native C++ ADMM QP/conic solver (qp_solver.cpp).
 
-Compiled on first use with g++ (cached next to the source). No external
-dependencies (pybind11 intentionally avoided; plain C ABI + ctypes).
+Compiled on first use with g++ into a per-host cache directory, keyed on a
+hash of the source — a prebuilt .so from another machine (or a stale one)
+is never loaded. No external dependencies (pybind11 intentionally avoided;
+plain C ABI + ctypes).
 """
 from __future__ import annotations
 
 import ctypes
 import dataclasses
+import hashlib
 import os
 import subprocess
-from typing import Optional
+import tempfile
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "qp_solver.cpp")
-_LIB = os.path.join(_DIR, "libaltro_tpu_qp.so")
 _lib = None
 _build_error: Optional[str] = None
 
 
-def _build() -> Optional[str]:
+def _cache_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    return os.path.join(base, "altro_tpu")
+
+
+def _lib_path() -> str:
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_cache_dir(), f"libaltro_tpu_qp_{h}.so")
+
+
+def _build(lib_path: str) -> Optional[str]:
+    os.makedirs(os.path.dirname(lib_path), exist_ok=True)
+    # build to a temp name then rename: atomic against concurrent builders
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(lib_path))
+    os.close(fd)
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             _SRC, "-o", _LIB],
+             _SRC, "-o", tmp],
             check=True, capture_output=True, text=True)
+        os.replace(tmp, lib_path)
         return None
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
         return getattr(e, "stderr", str(e)) or str(e)
 
 
@@ -35,21 +57,25 @@ def _load():
     global _lib, _build_error
     if _lib is not None or _build_error is not None:
         return
-    if not os.path.exists(_LIB) or (
-            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-        _build_error = _build()
+    lib_path = _lib_path()
+    if not os.path.exists(lib_path):
+        _build_error = _build(lib_path)
         if _build_error is not None:
             return
-    lib = ctypes.CDLL(_LIB)
+    lib = ctypes.CDLL(lib_path)
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int)
     lib.altro_tpu_qp_solve.restype = ctypes.c_int
     lib.altro_tpu_qp_solve.argtypes = [
         ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-        ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
-        ctypes.POINTER(ctypes.c_double),
+        dp, dp, dp, dp, dp, ctypes.c_double, ctypes.c_int,
+        dp, dp, ip, dp, dp,
+    ]
+    lib.altro_tpu_conic_solve.restype = ctypes.c_int
+    lib.altro_tpu_conic_solve.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        dp, dp, dp, dp, ip, ip, ctypes.c_double, ctypes.c_int,
+        dp, dp, ip, dp, dp,
     ]
     _lib = lib
 
@@ -93,6 +119,51 @@ def solve_qp(P, q, A, l, u, eps_abs: float = 1e-6,
         ctypes.byref(iters), ctypes.byref(rp), ctypes.byref(rd))
     if ret < 0:
         raise RuntimeError("native QP solver: factorization failed")
+    return NativeQPSolution(x=x, y=y, iterations=iters.value,
+                            r_prim=rp.value, r_dual=rd.value,
+                            status=1 if ret == 0 else 0)
+
+
+_CONE_CODE = {"zero": 0, "nonpos": 1, "soc": 2}
+
+
+def solve_conic(P, q, A, b, segments: Sequence[Tuple],
+                eps_abs: float = 1e-6,
+                max_iter: int = 50000) -> NativeQPSolution:
+    """Solve min 0.5 x'Px + q'x s.t. Ax + s = b, s in K — the BatchConic
+    program class (transcribe.to_batch_conic; the ECOS/COSMO oracle role of
+    run_simple_rocket.jl:156-188). ``segments`` is the BatchConic
+    ((cone, length), ...) product spec in row order."""
+    _load()
+    if _lib is None:
+        raise RuntimeError(f"native conic solver unavailable: {_build_error}")
+    P = np.ascontiguousarray(P, np.float64)
+    q = np.ascontiguousarray(q, np.float64)
+    A = np.ascontiguousarray(A, np.float64)
+    b = np.ascontiguousarray(b, np.float64)
+    nn, mm = P.shape[0], A.shape[0]
+    seg_type = np.ascontiguousarray(
+        [_CONE_CODE[str(c)] for c, _ in segments], np.int32)
+    seg_len = np.ascontiguousarray([p for _, p in segments], np.int32)
+    if int(seg_len.sum()) != mm:
+        raise ValueError("segment lengths must cover all constraint rows")
+    x = np.zeros(nn)
+    y = np.zeros(mm)
+    iters = ctypes.c_int(0)
+    rp = ctypes.c_double(0)
+    rd = ctypes.c_double(0)
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int)
+    ret = _lib.altro_tpu_conic_solve(
+        nn, mm, len(segments), P.ctypes.data_as(dp), q.ctypes.data_as(dp),
+        A.ctypes.data_as(dp), b.ctypes.data_as(dp),
+        seg_type.ctypes.data_as(ip), seg_len.ctypes.data_as(ip),
+        eps_abs, max_iter, x.ctypes.data_as(dp), y.ctypes.data_as(dp),
+        ctypes.byref(iters), ctypes.byref(rp), ctypes.byref(rd))
+    if ret == -1:
+        raise RuntimeError("native conic solver: factorization failed")
+    if ret == -2:
+        raise ValueError("native conic solver: bad segment spec")
     return NativeQPSolution(x=x, y=y, iterations=iters.value,
                             r_prim=rp.value, r_dual=rd.value,
                             status=1 if ret == 0 else 0)

@@ -452,9 +452,22 @@ def _solve(prob: Problem, opts: SolverOptions,
             if use_fused:
                 lams = tuple(d.lam for d in duals)
                 rhos = tuple(d.rho for d in duals)
+                # The fused kernel reads a single shared penalty schedule
+                # (rhos[0]). The solver keeps per-block penalties in lockstep
+                # (identical init + identical scaling), but a caller passing
+                # hand-built DualState with divergent per-block rho would get
+                # silently wrong gains — poison the feedforward with NaN in
+                # that case so the wrongness is loud (line search rejects /
+                # solve reports failure) instead of silent.
+                if len(rhos) > 1:
+                    rho_dev = sum(jnp.max(jnp.abs(r - rhos[0]))
+                                  for r in rhos[1:])
+                else:
+                    rho_dev = jnp.zeros((), X.dtype)
                 Knew, dff, dV1, dV2 = expand_backward(
                     prob.cost, prob.dynamics.A, prob.dynamics.B,
                     prob.constraints, X, U, lams, rhos, reg)
+                dff = jnp.where(rho_dev > 0, jnp.nan, dff)
             else:
                 A, B, _ = prob.dynamics.linearize(X, U)
                 lx, lu, lxx, luu, lux = al_expansion(prob, duals, X, U)

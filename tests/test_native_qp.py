@@ -1,13 +1,14 @@
-"""Native C++ QP solver as a foreign-codebase oracle (the OSQP role)."""
+"""Native C++ QP/conic solver as a foreign-codebase oracle (the OSQP and
+ECOS/COSMO roles, random_linear_problem.jl:68-76 / run_simple_rocket.jl:156-188)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 import altro_tpu as at
-from altro_tpu.native import available, solve_qp
-from altro_tpu.solver import admm_qp
-from altro_tpu.transcribe import to_batch_qp
+from altro_tpu.native import available, solve_conic, solve_qp
+from altro_tpu.solver import admm_conic, admm_qp
+from altro_tpu.transcribe import to_batch_conic, to_batch_qp
 
 pytestmark = pytest.mark.skipif(not available(),
                                 reason="g++ not available to build native lib")
@@ -45,3 +46,94 @@ def test_native_matches_jax_admm_on_random_linear():
     Xn, Un = admm_qp.extract_traj(qp, jnp.asarray(nat_sol.x))
     np.testing.assert_allclose(Xa, Xn, atol=1e-5)
     np.testing.assert_allclose(Ua, Un, atol=1e-5)
+
+
+def _conic_three_way(prob, eps=1e-7, atol=1e-5):
+    """JAX conic ADMM vs the native C++ conic oracle on one instance.
+
+    Asserts x agreement to ``atol`` AND objective agreement to 1e-6
+    relative — on ill-conditioned instances (min eig of P ~ R*dt = 5e-3 on
+    the rocket window) a 1e-8 cost gap already permits ~1e-4 primal drift,
+    so ``atol`` alone under-determines optimality."""
+    cp = to_batch_conic(prob)
+    jax_sol = admm_conic.solve(admm_conic.setup(cp), eps_abs=eps,
+                               max_iter=200000)
+    nat_sol = solve_conic(np.asarray(cp.P), np.asarray(cp.q),
+                          np.asarray(cp.A), np.asarray(cp.b), cp.segments,
+                          eps_abs=eps, max_iter=200000)
+    assert int(jax_sol.status) == 1, "JAX conic ADMM did not converge"
+    assert nat_sol.status == 1, (
+        f"native conic oracle did not converge (rp={nat_sol.r_prim:.2e}, "
+        f"rd={nat_sol.r_dual:.2e})")
+    np.testing.assert_allclose(np.asarray(jax_sol.x), nat_sol.x, atol=atol)
+    P, q = np.asarray(cp.P), np.asarray(cp.q)
+    obj = lambda x: 0.5 * x @ P @ x + q @ x
+    fj, fn = obj(np.asarray(jax_sol.x)), obj(nat_sol.x)
+    assert abs(fj - fn) <= 1e-6 * max(1.0, abs(fj))
+    return cp, nat_sol
+
+
+def test_native_conic_soc_projection_qp():
+    """Tiny SOC program with a known solution: min ||x - c||^2 s.t. x in SOC.
+    Formulated as Ax + s = 0, s in SOC with A = -I, so s = x."""
+    c = np.array([3.0, 4.0, 1.0])  # ||(3,4)|| = 5 > 1 -> boundary projection
+    P = np.eye(3)
+    q = -c
+    A = -np.eye(3)
+    b = np.zeros(3)
+    sol = solve_conic(P, q, A, b, (("soc", 3),), eps_abs=1e-9)
+    assert sol.status == 1
+    # closed-form SOC projection of (v, s): ((a+s)/2a) (v, a), a = ||v||
+    scale = (5.0 + 1.0) / (2 * 5.0)
+    expect = np.array([3.0 * scale, 4.0 * scale, 5.0 * scale])
+    np.testing.assert_allclose(sol.x, expect, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def rocket_window():
+    """Rocket SOC MPC-window instance — the program class the reference
+    hands ECOS every MPC step (simple_rocket.jl:106-216). Built from a
+    short cold solve used purely as the tracking reference."""
+    from altro_tpu.models import rocket
+    from altro_tpu.mpc import gen_tracking_mpc
+    N = 61
+    prob = rocket.rocket_problem(N=N, tf=(N - 1) * 0.05)
+    cold = at.solve(prob, at.SolverOptions(
+        cost_tolerance=1e-6, gradient_tolerance=1e-8,
+        constraint_tolerance=1e-5, penalty_initial=1e-2,
+        penalty_scaling=500.0, iterations_outer=40, iterations_inner=100),
+        U0=rocket.hover_controls(prob))
+    return gen_tracking_mpc(prob, cold.X, cold.U, 21, dt=0.05)
+
+
+def test_native_conic_matches_jax_on_rocket(rocket_window):
+    """The ECOS oracle role on the rocket SOC MPC window (thrust norm +
+    thrust angle + glideslope cones). x-agreement tolerance reflects the
+    instance's conditioning floor (see _conic_three_way); the cost-parity
+    assertion carries the optimality claim."""
+    _conic_three_way(rocket_window, eps=1e-9, atol=1e-3)
+
+
+def test_native_conic_matches_jax_on_grasp():
+    """The ECOS/Mosek oracle role on a grasp instance with time-varying
+    torque-balance equality + max-force inequality + two SOC friction
+    cones per knot (grasp_benchmark.jl:36-62)."""
+    from altro_tpu.models import grasp
+    N, tf = 31, 3.0
+    o = grasp.make_grasp_object(N, tf)
+    prob = grasp.grasp_problem(o, N, tf)
+    _conic_three_way(prob)
+
+
+def test_native_conic_matches_altro_on_rocket(rocket_window):
+    """Cross-family check: the native conic oracle against ALTRO's conic
+    AL-iLQR trajectory on the same instance."""
+    cp, nat_sol = _conic_three_way(rocket_window, eps=1e-9, atol=1e-3)
+    altro_sol = at.solve(rocket_window, at.SolverOptions(
+        cost_tolerance=1e-8, gradient_tolerance=1e-10,
+        constraint_tolerance=1e-8, penalty_initial=1e3,
+        penalty_scaling=10.0, iterations_outer=30))
+    assert int(altro_sol.stats.status) == 1
+    Xn, Un = admm_conic.extract_traj(cp, jnp.asarray(nat_sol.x))
+    np.testing.assert_allclose(altro_sol.X, Xn, atol=2e-3)
+    np.testing.assert_allclose(altro_sol.U, Un, atol=2e-3)
