@@ -1,0 +1,184 @@
+"""TPU-f32 vs CPU-f64 vs native-C++ agreement artifact for the flagship.
+
+Closes the "matching reference ALTRO controls" claim on hardware
+(BASELINE.json north star; reference oracle pattern
+random_linear_problem.jl:176-186): run the B=1024 f32 warm-started MPC
+batch on TPU (bench.py methodology/config), then re-solve a sample of the
+IDENTICAL instances (same x0, same tracking window, same convex QP — unique
+optimum) with
+
+  - the CPU float64 ALTRO solver at tolerance 1e-6, and
+  - the native C++ dense ADMM oracle (altro_tpu/native) at 1e-8,
+
+and report max control disagreement. Expected: f32-vs-f64 at the f32
+solve tolerance level (~1e-3/1e-4), f64-vs-native at oracle level.
+
+Two phases because the TPU plugin is bound at interpreter startup
+(CLAUDE.md): phase1 runs on TPU in the ambient env and saves the sampled
+instances; phase2 re-execs itself with a scrubbed CPU env. ``main`` runs
+both and writes results_tpu/agreement.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+SEED = 1
+N_MPC = 30
+N_DIM, M_DIM = 12, 6
+SAMPLE = 32
+
+
+def _flagship(dtype):
+    import jax.numpy as jnp
+    from altro_tpu.models import random_linear as rl
+
+    rng = np.random.default_rng(SEED)
+    T = 10
+    N_track = N_MPC + T + 2
+    prob = rl.gen_random_linear(rng, N_DIM, M_DIM, N_track, dtype=dtype)
+    X_track, U_track = rl.gen_trajectory(rng, prob, N_track)
+    prob_mpc = rl.gen_tracking_mpc(prob, X_track, U_track, N_MPC)
+    return prob_mpc, X_track, U_track, T
+
+
+TOLS = (1e-4, 1e-6)
+
+
+def phase1_tpu(out_npz: str, B: int = 1024):
+    import jax
+    import jax.numpy as jnp
+    import altro_tpu as at
+    from altro_tpu.mpc import make_mpc_step
+
+    dtype = jnp.float32
+    prob_mpc, X_track, U_track, T = _flagship(dtype)
+    rng = np.random.default_rng(SEED)
+    noise = jnp.asarray(rng.standard_normal((T, B, N_DIM)), dtype)
+    idx = np.linspace(0, B - 1, SAMPLE).astype(int)
+
+    save = dict(k=int(T))
+    for tol in TOLS:
+        opts = at.SolverOptions(
+            cost_tolerance=tol, gradient_tolerance=tol,
+            constraint_tolerance=max(tol, 1e-5), penalty_initial=1e3,
+            penalty_scaling=100.0, reset_duals=False,
+            iterations_linesearch=4)
+        step, init_carry = make_mpc_step(prob_mpc, opts, X_track, U_track)
+        vstep = jax.jit(jax.vmap(step, in_axes=(0, 0)))
+        carry = jax.block_until_ready(
+            jax.jit(jax.vmap(lambda _: init_carry()))(jnp.arange(B)))
+        for t in range(T):
+            carry, out = vstep(carry, noise[t])
+        jax.block_until_ready(carry)
+        key = f"{tol:g}"
+        save[f"x0_{key}"] = np.asarray(out.x0)[idx]
+        save[f"U_{key}"] = np.asarray(out.U)[idx]
+        save[f"status_{key}"] = np.asarray(out.status)
+        print(f"phase1 tol={tol:g}: success "
+              f"{float(np.mean(np.asarray(out.status))):.4f}", flush=True)
+    np.savez(out_npz, **save)
+
+
+def phase2_cpu(in_npz: str, out_json: str):
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import altro_tpu as at
+    from altro_tpu.costs import retarget_tracking
+    from altro_tpu.mpc import track_window
+    from altro_tpu.native import available, solve_qp
+    from altro_tpu.solver import admm_qp
+    from altro_tpu.transcribe import to_batch_qp
+
+    data = np.load(in_npz)
+    k = int(data["k"])
+    prob_mpc, X_track, U_track, _T = _flagship(jnp.float64)
+    Xw, Uw = track_window(X_track, U_track, k, N_MPC)
+    cost_k = retarget_tracking(prob_mpc.cost, Xw, Uw)
+
+    opts64 = at.SolverOptions(
+        cost_tolerance=1e-8, gradient_tolerance=1e-9,
+        constraint_tolerance=1e-7, penalty_initial=1e3,
+        penalty_scaling=100.0)
+
+    def solve64(x0, U0):
+        p = prob_mpc.replace(cost=cost_k, x0=x0)
+        return at.solve(p, opts64, U0=U0).U
+
+    jsolve64 = jax.jit(solve64)
+
+    per_tol = {}
+    d_f64_nat, statuses = [], []
+    for tol in TOLS:
+        key = f"{tol:g}"
+        x0s, U_tpu = data[f"x0_{key}"], data[f"U_{key}"]
+        d_tpu_f64 = []
+        for i in range(x0s.shape[0]):
+            x0 = jnp.asarray(x0s[i], jnp.float64)
+            U0 = jnp.asarray(U_tpu[i], jnp.float64)
+            U64 = np.asarray(jsolve64(x0, U0))
+            d_tpu_f64.append(np.max(np.abs(U_tpu[i] - U64)))
+            if tol == TOLS[0] and available():
+                p = prob_mpc.replace(cost=cost_k, x0=x0)
+                qp = to_batch_qp(p)
+                nat = solve_qp(np.asarray(qp.P), np.asarray(qp.q),
+                               np.asarray(qp.A), np.asarray(qp.l),
+                               np.asarray(qp.u), eps_abs=1e-8,
+                               max_iter=40000)
+                statuses.append(nat.status)
+                _, U_nat = admm_qp.extract_traj(qp, jnp.asarray(nat.x))
+                d_f64_nat.append(np.max(np.abs(U64 - np.asarray(U_nat))))
+        per_tol[key] = dict(
+            tpu_success_rate=float(np.mean(data[f"status_{key}"])),
+            max_dU_tpu_f32_vs_cpu_f64=float(np.max(d_tpu_f64)),
+            mean_dU_tpu_f32_vs_cpu_f64=float(np.mean(d_tpu_f64)))
+
+    res = dict(
+        config=dict(n=N_DIM, m=M_DIM, N_mpc=N_MPC, seed=SEED,
+                    sample=int(data[f"x0_{TOLS[0]:g}"].shape[0]), step=k,
+                    f64_tol=1e-8, native_tol=1e-8),
+        per_tpu_tolerance=per_tol,
+        max_dU_cpu_f64_vs_native_cpp=(
+            float(np.max(d_f64_nat)) if d_f64_nat else None),
+        native_success=(int(min(statuses)) if statuses else None),
+        note=("dU at TPU tolerance 1e-4 reflects the solver's dJ-based stop "
+              "(error ~ sqrt(2 dJ / lambda_min)); the 1e-6 row isolates the "
+              "f32-hardware floor"),
+    )
+    os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)
+    with open(out_json, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res, indent=1), flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("phase", nargs="?", default="all",
+                   choices=["all", "phase1", "phase2"])
+    p.add_argument("--npz", default="/tmp/altro_tpu_agreement.npz")
+    p.add_argument("--out", default="results_tpu/agreement.json")
+    p.add_argument("--batch", type=int, default=1024)
+    args = p.parse_args()
+    if args.phase in ("all", "phase1"):
+        phase1_tpu(args.npz, args.batch)
+    if args.phase == "phase2":
+        phase2_cpu(args.npz, args.out)
+    elif args.phase == "all":
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        env["JAX_PLATFORMS"] = "cpu"
+        subprocess.run(
+            [sys.executable, "-m", "altro_tpu.bench.agreement", "phase2",
+             "--npz", args.npz, "--out", args.out],
+            check=True, env=env, cwd=os.path.dirname(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+if __name__ == "__main__":
+    main()

@@ -375,8 +375,12 @@ def flexsat_benchmark(T: int = 45, trials: int = 10, dtype=jnp.float64):
 
 def quadruped_benchmark(tf: float = 2.0, dtype=jnp.float64):
     """Four configs: ALTRO-QP, ADMM-QP (OSQP role), ALTRO-SOCP,
-    ADMM-Conic (ECOS role) (quadruped_benchmark.jl:1-55). Runs the closed
-    loop on the SRB plant and reports per-solve MPC times."""
+    ADMM-Conic (ECOS role) (quadruped_benchmark.jl:1-55). Host-driven
+    closed loop on the SRB plant timing the MPC SOLVE separately from the
+    1 kHz sim ticks — apples-to-apples with the reference's solver-only
+    table (plots/table.tex; it records stats.tsolve / info.solve_time).
+    The ADMM baselines run the reference's setup-once + refactor +
+    shifted-warm-start pattern (OSQPParams.jl:127-162)."""
     import altro_tpu as at
     from altro_tpu.models.quadruped import config, controller
 
@@ -390,23 +394,27 @@ def quadruped_benchmark(tf: float = 2.0, dtype=jnp.float64):
             ("ALTRO-SOCP", False, "altro"),
             ("ECOS-role", False, "admm_conic")):
         cfg = config.MPCConfig(linearized_friction=lin)
-        fn = jax.jit(lambda cfg=cfg, backend=backend: controller.simulate(
-            cfg, opts, tf=tf, backend=backend, dtype=dtype)["status"])
-        status = np.asarray(jax.block_until_ready(fn()))
-        n_solves = int(round(tf / cfg.update_dt))
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        total = time.perf_counter() - t0
-        rows[name] = dict(ms_per_solve=total * 1e3 / n_solves,
-                          success=float(status.mean()))
-        print(f"  {name}: {rows[name]['ms_per_solve']:.3f} ms/solve "
+        res = controller.simulate_host(cfg, opts, tf=tf, backend=backend,
+                                       dtype=dtype)
+        status = np.asarray(res["status"])
+        mpc_ms = np.asarray(res["mpc_ms"])
+        rows[name] = dict(
+            ms_per_solve=float(np.mean(mpc_ms)),
+            ms_per_solve_std=float(np.std(mpc_ms)),
+            ms_per_period_sim=float(np.mean(res["tick_ms"])),
+            mean_iters=float(np.mean(np.asarray(res["iters"]))),
+            success=float(status.mean()),
+            mpc_ms=mpc_ms.tolist())
+        print(f"  {name}: {rows[name]['ms_per_solve']:.3f} ± "
+              f"{rows[name]['ms_per_solve_std']:.3f} ms/solve, "
+              f"{rows[name]['mean_iters']:.1f} iters "
               f"(success {rows[name]['success']:.2f})", flush=True)
 
     # results table (plots/create_figures.jl + table.tex analog)
-    lines = ["| configuration | ms/solve | success |", "|---|---|---|"]
+    lines = ["| configuration | ms/solve | σ | success |", "|---|---|---|---|"]
     for k, v in rows.items():
         lines.append(f"| {k} | {v['ms_per_solve']:.3f} | "
-                     f"{v['success']:.2f} |")
+                     f"{v['ms_per_solve_std']:.3f} | {v['success']:.2f} |")
     rows["table_md"] = "\n".join(lines)
     print("\n".join(lines), flush=True)
     return rows
@@ -423,22 +431,127 @@ BENCHMARKS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Figures (the committed-figure parity set: figures/*.tikz analogs)
+# ---------------------------------------------------------------------------
+
+def _mpl():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def _fig_rocket(res, path):
+    """Trajectory error + solve time vs solver tolerance
+    (figures/rocket_solver_tol.tikz + rocket_tol_comp.tikz analog)."""
+    plt = _mpl()
+    rows = res["rows"]
+    tols = [r["tol"] for r in rows]
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(9, 3.6))
+    ax1.loglog(tols, [r["err_U"] for r in rows], "o-", color="tab:red",
+               label="ALTRO vs conic-ADMM (1e-9)")
+    ax1.set_xlabel("ALTRO optimality tolerance")
+    ax1.set_ylabel("inf-norm control error")
+    ax1.invert_xaxis()
+    ax1.grid(True, alpha=0.3)
+    ax1.legend(fontsize=8)
+    ax2.semilogx(tols, [r["altro_ms"] for r in rows], "o-", color="tab:red",
+                 label="ALTRO")
+    ax2.semilogx(tols, [r["baseline_ms"] for r in rows], "s-",
+                 color="tab:cyan", label="conic ADMM (ECOS role)")
+    ax2.set_xlabel("ALTRO optimality tolerance")
+    ax2.set_ylabel("time per MPC step (ms)")
+    ax2.invert_xaxis()
+    ax2.grid(True, alpha=0.3)
+    ax2.legend(fontsize=8)
+    fig.savefig(path, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+
+
+def _fig_flexsat(res, path):
+    """Per-MPC-step solve-time medians, step 1..45
+    (figures/flexible_sat_comp.tikz analog: red=ALTRO, blue=OSQP role)."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    a = res["altro_median_per_step"]
+    q = res["qp_median_per_step"]
+    steps = np.arange(1, len(a) + 1)
+    am = np.asarray(res["altro_ms"])      # [T, trials]
+    qm = np.asarray(res["qp_ms"])
+    for t in range(am.shape[1]):
+        ax.plot(steps, am[:, t], color="tab:red", alpha=0.15, lw=0.6)
+        ax.plot(steps, qm[:, t], color="tab:blue", alpha=0.15, lw=0.6)
+    ax.plot(steps, a, color="tab:red", lw=2, label="ALTRO (median)")
+    ax.plot(steps, q, color="tab:blue", lw=2, label="ADMM-QP (median)")
+    ax.set_xlabel("MPC step")
+    ax.set_ylabel("solve time (ms)")
+    ax.set_yscale("log")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    fig.savefig(path, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+
+
+def _fig_quadruped(res, path):
+    """Per-config solve-time bars with std whiskers
+    (figures/quadruped_times.tikz + plots/table.tex analog)."""
+    plt = _mpl()
+    names = [k for k in res if isinstance(res[k], dict)
+             and "ms_per_solve" in res[k]]
+    means = [res[k]["ms_per_solve"] for k in names]
+    stds = [res[k].get("ms_per_solve_std", 0.0) for k in names]
+    colors = ["tab:red", "tab:blue", "tab:red", "tab:cyan"]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.bar(range(len(names)), means, yerr=stds, capsize=4,
+           color=colors[:len(names)], alpha=0.8)
+    ax.set_xticks(range(len(names)))
+    ax.set_xticklabels(names, rotation=15)
+    ax.set_ylabel("MPC solve time (ms)")
+    ax.grid(True, axis="y", alpha=0.3)
+    fig.savefig(path, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+
+
+FIGURES = {
+    "rocket": _fig_rocket,
+    "flexsat": _fig_flexsat,
+    "quadruped": _fig_quadruped,
+}
+
+
 def main():
+    if jax.default_backend() == "cpu":
+        # the CPU sweeps are f64 oracles; without this the f64 requests are
+        # silently truncated to f32 (and warn on every constraint build)
+        jax.config.update("jax_enable_x64", True)
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("benchmark", choices=list(BENCHMARKS) + ["all"])
     p.add_argument("--out", default="results")
+    p.add_argument("--plot-only", action="store_true",
+                   help="re-emit figures from saved json without re-running "
+                        "(the reference's JLD2-replay plotting workflow)")
     args = p.parse_args()
     names = list(BENCHMARKS) if args.benchmark == "all" else [args.benchmark]
     for name in names:
-        print(f"== {name}", flush=True)
-        res = BENCHMARKS[name]()
-        save_results(os.path.join(args.out, f"{name}.json"), res)
-        if isinstance(res, dict) and "times" in res:
-            try:
-                comparison_plot(res["times"], res.get("xlabel", "sweep"),
+        path = os.path.join(args.out, f"{name}.json")
+        if args.plot_only:
+            from .harness import load_results
+            res = load_results(path)
+        else:
+            print(f"== {name}", flush=True)
+            res = BENCHMARKS[name]()
+            save_results(path, res)
+        try:
+            if isinstance(res, dict) and "times" in res:
+                times = {s: {float(x): v for x, v in series.items()}
+                         for s, series in res["times"].items()}
+                comparison_plot(times, res.get("xlabel", "sweep"),
                                 os.path.join("figures", f"{name}.png"))
-            except Exception as e:  # plotting is best-effort
-                print(f"  (plot skipped: {e})", flush=True)
+            if name in FIGURES:
+                FIGURES[name](res, os.path.join("figures", f"{name}.png"))
+        except Exception as e:  # plotting is best-effort
+            print(f"  (plot skipped: {e})", flush=True)
 
 
 if __name__ == "__main__":

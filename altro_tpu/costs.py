@@ -21,6 +21,7 @@ constructors, so downstream code never thinks about dt.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -143,8 +144,12 @@ def retarget_tracking(cost: QuadCost, X_ref, U_ref) -> QuadCost:
     """
     N, m = cost.N, cost.m
     Upad = jnp.concatenate([U_ref, jnp.zeros((1, m), U_ref.dtype)], axis=0)
-    qs = -jnp.einsum("kij,kj->ki", cost.Q, X_ref)
-    rs = -jnp.einsum("kij,kj->ki", cost.R, Upad)
-    cs = 0.5 * jnp.einsum("ki,kij,kj->k", X_ref, cost.Q, X_ref) \
-        + 0.5 * jnp.einsum("ki,kij,kj->k", Upad, cost.R, Upad)
+    # precision pinned: this runs in the MPC step outside the solver's
+    # pinned context; TPU-default bf16 einsums would retarget the cost to a
+    # slightly different reference than the host's
+    with jax.default_matmul_precision("highest"):
+        qs = -jnp.einsum("kij,kj->ki", cost.Q, X_ref)
+        rs = -jnp.einsum("kij,kj->ki", cost.R, Upad)
+        cs = 0.5 * jnp.einsum("ki,kij,kj->k", X_ref, cost.Q, X_ref) \
+            + 0.5 * jnp.einsum("ki,kij,kj->k", Upad, cost.R, Upad)
     return cost.replace(q=qs, r=rs, c=cs)

@@ -46,7 +46,12 @@ class LTVDynamics:
         return self.B.shape[-1]
 
     def step(self, x, u, k):
-        return self.A[k] @ x + self.B[k] @ u + self.d[k]
+        # precision pinned: dynamics propagation happens outside the
+        # solver's pinned context too (MPC x0 propagation, trajectory
+        # generation), and TPU-default bf16 matmuls there silently desync
+        # the device's closed loop from the host's by ~1e-3/step
+        with jax.default_matmul_precision("highest"):
+            return self.A[k] @ x + self.B[k] @ u + self.d[k]
 
     def linearize(self, X, U):
         """(A, B, d) stacks about a trajectory — exact for linear models."""
@@ -54,13 +59,14 @@ class LTVDynamics:
         return self.A, self.B, self.d
 
     def rollout(self, x0, U):
-        """Open-loop rollout; returns X [N, n]."""
+        """Open-loop rollout; returns X [N, n]. Precision pinned (see step)."""
         def body(x, inp):
             A, B, d, u = inp
             x1 = A @ x + B @ u + d
             return x1, x1
 
-        _, X_tail = jax.lax.scan(body, x0, (self.A, self.B, self.d, U))
+        with jax.default_matmul_precision("highest"):
+            _, X_tail = jax.lax.scan(body, x0, (self.A, self.B, self.d, U))
         return jnp.concatenate([x0[None], X_tail], axis=0)
 
 
@@ -141,7 +147,10 @@ def zoh_discretize(A, B, dt, d=None):
     width = n + m + dcol.shape[1]
     top = jnp.concatenate([A, B, dcol], axis=1)
     M = jnp.concatenate([top, jnp.zeros((width - n, width), A.dtype)], axis=0)
-    E = jax.scipy.linalg.expm(M * dt)
+    # pin precision: expm's squaring matmuls at TPU-default bf16 would give
+    # the device a visibly different discretization from the host's
+    with jax.default_matmul_precision("highest"):
+        E = jax.scipy.linalg.expm(M * dt)
     Ad = E[:n, :n]
     Bd = E[:n, n:n + m]
     dd = E[:n, n + m] if has_d else jnp.zeros(n, A.dtype)

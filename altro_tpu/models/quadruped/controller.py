@@ -27,7 +27,7 @@ from flax import struct
 from ... import constraints as C
 from ...costs import lqr_objective
 from ...problem import Problem
-from ...solver import admm_conic, admm_qp
+from ...solver import admm_conic, admm_qp, knot_admm
 from ...solver.altro import solve
 from ...solver.options import SolverOptions
 from ...transcribe import to_batch_conic, to_batch_qp
@@ -82,10 +82,17 @@ def build_mpc_problem(cfg: MPCConfig, dtype=jnp.float64):
 
 def mpc_solve_forces(backend: str, prob: Problem, opts: SolverOptions,
                      x_curr, x_ref, contacts, foot_locs, dt_mpc,
-                     U_prev, duals):
+                     U_prev, duals, baseline=None):
     """One MPC solve (foot_forces! dispatch, altro_solver.jl:44-88 /
-    osqp_solver.jl / ecos_solver.jl). Relinearizes about (x_ref, 0) with the
-    horizon contact schedule, warm-starts, solves, returns forces [12]."""
+    osqp_solver.jl / ecos_solver.jl). Relinearizes with the horizon contact
+    schedule, warm-starts, solves, returns
+    (forces [12], U, duals, iters, status, baseline).
+
+    ``baseline`` carries the ADMM backends' setup-once structured workspace
+    (a knot_admm.KnotADMMWork) — the reference's OSQP setup-once +
+    in-place-update pattern (OSQPParams.jl:127-162, osqp_solver.jl:70-97).
+    Without it the ADMM backends cold-start the dense oracles every solve
+    (oracle-grade, not timing-grade)."""
     # Deviation from altro_solver.jl:56 (u_ref = 0): linearize about the
     # gravity-distributing stance forces (m g / n_stance vertical per stance
     # foot). At u_ref = 0 the Jacobians lose the force-position coupling
@@ -100,22 +107,67 @@ def mpc_solve_forces(backend: str, prob: Problem, opts: SolverOptions,
     dyn = linearize_horizon(x_ref, u_ref, foot_locs, contacts, dt_mpc)
     prob_k = prob.replace(dynamics=dyn, x0=x_curr)
 
+    N, n, m = prob.N, 12, 12
     if backend == "altro":
         sol = solve(prob_k, opts, U0=shift_fill(U_prev),
                     duals=tuple(d.shift() for d in duals))
-        return sol.U[0], sol.U, sol.duals, sol.stats.iterations, sol.stats.status
-    if backend == "admm_qp":
-        qp = to_batch_qp(prob_k)
-        qsol = admm_qp.solve(admm_qp.setup(qp),
-                             eps_abs=float(opts.cost_tolerance))
-        _, Uq = admm_qp.extract_traj(qp, qsol.x)
-        return Uq[0], Uq, duals, qsol.iterations, qsol.status
-    if backend == "admm_conic":
+        return (sol.U[0], sol.U, sol.duals, sol.stats.iterations,
+                sol.stats.status, baseline)
+    # ADMM baseline backends (OSQP/ECOS roles). With ``baseline`` they run
+    # the reference's timing-grade pattern — setup-once scalings + per-solve
+    # banded KKT refactor via the MPC-structured knot ADMM (knot_admm.py;
+    # OSQPParams.jl:127-162's sparse setup-once + update! equivalent).
+    # Without it they fall back to the dense oracles, cold each solve.
+    # (A shifted primal/dual warm start was measured to HURT here: each MPC
+    # period rolls a stance transition through the horizon, flipping
+    # equality rows at rho * 1e3, and the adaptive-rho transient that causes
+    # costs more than the zero start.)
+    if backend in ("admm_qp", "admm_conic"):
+        if baseline is not None:
+            kqp = knot_admm.to_knot_qp(prob_k)
+            ksol = knot_admm.solve(knot_admm.refactor(baseline, kqp),
+                                   eps_abs=float(opts.cost_tolerance))
+            return (ksol.U[0], ksol.U, duals, ksol.iterations, ksol.status,
+                    baseline)
+        if backend == "admm_qp":
+            qp = to_batch_qp(prob_k)
+            qsol = admm_qp.solve(admm_qp.setup(qp),
+                                 eps_abs=float(opts.cost_tolerance))
+            _, Uq = admm_qp.extract_traj(qp, qsol.x)
+            return Uq[0], Uq, duals, qsol.iterations, qsol.status, None
         cp = to_batch_conic(prob_k)
         csol = admm_conic.solve(admm_conic.setup(cp),
                                 eps_abs=float(opts.cost_tolerance))
         _, Uc = admm_conic.extract_traj(cp, csol.x)
-        return Uc[0], Uc, duals, csol.iterations, csol.status
+        return Uc[0], Uc, duals, csol.iterations, csol.status, None
+    raise ValueError(backend)
+
+
+def make_baseline_state(backend: str, prob: Problem, cfg: MPCConfig, x_des,
+                        dtype=jnp.float64):
+    """Setup-once structured-ADMM workspace (knot_admm) from a
+    representative all-stance linearization at x_des — the reference's OSQP
+    setup phase (OSQPParams.jl:60-125). Scalings are a preconditioner;
+    reusing them across per-step relinearizations is safe and is what makes
+    the baselines timing-grade (only the banded KKT refactors per solve)."""
+    if backend == "altro":
+        return None
+    N = cfg.N
+    contacts0 = jnp.ones((N, 4), dtype)
+    feet0 = jnp.tile(
+        (x_des[0:3][None, :] +
+         planner.nominal_foot_locations()).at[:, 2].set(
+             _w.geometry.foot_radius)[None], (N, 1, 1))
+    fz = SPRUNG_MASS * 9.81 / 4.0
+    u_ref = jnp.zeros((N, 12), dtype).at[:, 2::3].set(fz)
+    dyn0 = linearize_horizon(jnp.tile(x_des, (N, 1)), u_ref, feet0,
+                             contacts0, cfg.dynamics_discretization)
+    prob0 = prob.replace(dynamics=dyn0, x0=x_des)
+    if backend in ("admm_qp", "admm_conic"):
+        # rho = 0.1: measured best over the trot sequence for both the
+        # linearized-friction QP (192 vs 276/358 mean iters at 1.0/3.0)
+        # and the friction-cone SOCP (~157 iters)
+        return knot_admm.setup(knot_admm.to_knot_qp(prob0), rho=0.1)
     raise ValueError(backend)
 
 
@@ -279,9 +331,10 @@ def simulate(cfg: MPCConfig, opts: SolverOptions, tf: float = 2.0,
     n_periods = int(round(tf / cfg.update_dt))
 
     state0 = initial_state(prob, x_des, opts, dtype)
+    baseline0 = make_baseline_state(backend, prob, cfg, x_des, dtype)
 
     def period(carry, k):
-        state = carry
+        state, baseline = carry
         t = k.astype(dtype) * cfg.update_dt
 
         # MPC: reference, horizon schedule, solve
@@ -289,9 +342,9 @@ def simulate(cfg: MPCConfig, opts: SolverOptions, tf: float = 2.0,
         contacts, foot_locs, planner_fl = planner.foot_history(
             t, x_ref, state.feet_w, state.planner_foot_loc, gait, x_des,
             cfg.N, cfg.dynamics_discretization)
-        forces, U_new, duals, iters, status = mpc_solve_forces(
+        forces, U_new, duals, iters, status, baseline = mpc_solve_forces(
             backend, prob, opts, state.x, x_ref, contacts, foot_locs,
-            cfg.dynamics_discretization, state.U_prev, state.duals)
+            cfg.dynamics_discretization, state.U_prev, state.duals, baseline)
         state = state.replace(forces=forces, U_prev=U_new, duals=duals,
                               planner_foot_loc=planner_fl)
 
@@ -302,8 +355,78 @@ def simulate(cfg: MPCConfig, opts: SolverOptions, tf: float = 2.0,
 
         state, _ = jax.lax.scan(tick, state, jnp.arange(ticks_per_mpc))
         rec = (state.x, forces, iters, status)
-        return state, rec
+        return (state, baseline), rec
 
-    state, (xs, forces, iters, status) = jax.lax.scan(
-        period, state0, jnp.arange(n_periods))
+    (state, _), (xs, forces, iters, status) = jax.lax.scan(
+        period, (state0, baseline0), jnp.arange(n_periods))
     return dict(x=xs, forces=forces, iters=iters, status=status)
+
+
+def simulate_host(cfg: MPCConfig, opts: SolverOptions, tf: float = 2.0,
+                  backend: str = "altro", dtype=jnp.float64,
+                  plant: Optional[PlantParams] = None):
+    """Host-driven closed loop timing the MPC SOLVE separately from the
+    1 kHz sim ticks — the reference times only the solver call
+    (quadruped_benchmark.jl:25-41, solver ``stats.tsolve`` /
+    ``results.info.solve_time``), so per-solve numbers from this loop are
+    apples-to-apples with its table. Returns the :func:`simulate` records
+    plus ``mpc_ms`` / ``tick_ms`` wall-clock lists per period."""
+    import time as _time
+
+    gait = GAITS[cfg.gait_type](cfg.stance_time, cfg.swing_time)
+    prob, x_des = build_mpc_problem(cfg, dtype)
+    ticks_per_mpc = int(round(cfg.update_dt / DT_SIM))
+    n_periods = int(round(tf / cfg.update_dt))
+
+    state0 = initial_state(prob, x_des, opts, dtype)
+    baseline0 = make_baseline_state(backend, prob, cfg, x_des, dtype)
+
+    def mpc_part(state, baseline, t):
+        x_ref = jnp.tile(x_des, (cfg.N, 1))
+        contacts, foot_locs, planner_fl = planner.foot_history(
+            t, x_ref, state.feet_w, state.planner_foot_loc, gait, x_des,
+            cfg.N, cfg.dynamics_discretization)
+        forces, U_new, duals, iters, status, baseline = mpc_solve_forces(
+            backend, prob, opts, state.x, x_ref, contacts, foot_locs,
+            cfg.dynamics_discretization, state.U_prev, state.duals, baseline)
+        state = state.replace(forces=forces, U_prev=U_new, duals=duals,
+                              planner_foot_loc=planner_fl)
+        return state, baseline, iters, status
+
+    def ticks_part(state, t):
+        def tick(s, j):
+            tj = t + j.astype(dtype) * DT_SIM
+            s, _torques = control_tick(s, tj, gait, cfg, x_des, plant)
+            return s, None
+
+        state, _ = jax.lax.scan(tick, state, jnp.arange(ticks_per_mpc))
+        return state
+
+    jmpc = jax.jit(mpc_part)
+    jticks = jax.jit(ticks_part)
+
+    # compile outside the timed loop (functional, so safe to discard)
+    t_w = jnp.asarray(0.0, dtype)
+    jax.block_until_ready(jmpc(state0, baseline0, t_w))
+    jax.block_until_ready(jticks(state0, t_w))
+
+    state, baseline = state0, baseline0
+    xs, forces, iters_l, status_l, mpc_ms, tick_ms = [], [], [], [], [], []
+    for k in range(n_periods):
+        t = jnp.asarray(k * cfg.update_dt, dtype)
+        t0 = _time.perf_counter()
+        state, baseline, iters, status = jmpc(state, baseline, t)
+        jax.block_until_ready(status)
+        mpc_ms.append((_time.perf_counter() - t0) * 1e3)
+        f = state.forces
+        t0 = _time.perf_counter()
+        state = jticks(state, t)
+        jax.block_until_ready(state.x)
+        tick_ms.append((_time.perf_counter() - t0) * 1e3)
+        xs.append(state.x)
+        forces.append(f)
+        iters_l.append(iters)
+        status_l.append(status)
+    return dict(x=jnp.stack(xs), forces=jnp.stack(forces),
+                iters=jnp.stack(iters_l), status=jnp.stack(status_l),
+                mpc_ms=mpc_ms, tick_ms=tick_ms)

@@ -80,7 +80,12 @@ def gen_trajectory(rng: np.random.Generator, prob: Problem, N: int
     U = jnp.asarray(rng.standard_normal((N - 1, prob.m)), dtype)
     A, B = prob.dynamics.A[0], prob.dynamics.B[0]
     dyn = lti_dynamics(A, B, N)
-    X = dyn.rollout(jnp.zeros(prob.n, dtype), U)
+    # pin precision: on TPU the default bf16 matmul passes drift a
+    # marginally-stable rollout by ~1e-2, silently giving the device a
+    # different tracking reference from the host's (solutions then disagree
+    # with CPU oracles by that same offset)
+    with jax.default_matmul_precision("highest"):
+        X = dyn.rollout(jnp.zeros(prob.n, dtype), U)
     return X, U
 
 

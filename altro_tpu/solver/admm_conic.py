@@ -89,6 +89,18 @@ def update(work: ADMMConicWork, q=None, b=None) -> ADMMConicWork:
     return work.replace(prob=p)
 
 
+def refactor(work: ADMMConicWork, prob: BatchConic) -> ADMMConicWork:
+    """Swap in a conic program with new P/A values but the same segment
+    structure, reusing the penalty vector and refactoring only the KKT —
+    the setup-once + in-place-update baseline pattern (ECOS role; cf.
+    OSQPParams.jl:127-162 for the QP analog)."""
+    dtype = prob.P.dtype
+    K = prob.P + prob.A.T @ (work.rho_vec[:, None] * prob.A) \
+        + 1e-8 * jnp.eye(prob.num_vars, dtype=dtype)
+    chol = jax.scipy.linalg.cholesky(K, lower=True)
+    return work.replace(prob=prob, chol=chol)
+
+
 def solve(work, x0=None, y0=None, **kw):
     """Precision-pinned entry point (TPU bf16 matmul passes stall
     ADMM convergence; full f32 is faster end-to-end)."""

@@ -122,6 +122,24 @@ def update(work: ADMMQPWork, q=None, l=None, u=None) -> ADMMQPWork:
     return work.replace(qp=qp)
 
 
+def refactor(work: ADMMQPWork, qp: BatchQP) -> ADMMQPWork:
+    """Swap in a QP with new P/A values but the SAME structure, reusing the
+    cached Ruiz scalings and penalty pattern and refactoring only the KKT —
+    the reference's setup-once + in-place ``OSQP.update!(Ax=...)`` pattern
+    (Woofer/MPCControl/Structs/OSQPParams.jl:127-162: OSQP refactors its
+    fixed-pattern sparse KKT internally on the next solve). The scalings are
+    a preconditioner, not a correctness condition, so reusing them across
+    the mild per-step relinearization changes is safe."""
+    dtype = qp.P.dtype
+    D, E, c = work.D, work.E, work.c
+    Ps = c * (D[:, None] * qp.P * D[None, :])
+    As = E[:, None] * qp.A * D[None, :]
+    K = Ps + work.sigma * jnp.eye(qp.num_vars, dtype=dtype) \
+        + As.T @ (work.rho_vec[:, None] * As)
+    chol = jax.scipy.linalg.cholesky(K, lower=True)
+    return work.replace(qp=qp, chol=chol)
+
+
 CHUNK = 25  # ADMM iterations between residual checks / rho adaptations
 
 

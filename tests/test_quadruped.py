@@ -112,10 +112,10 @@ def test_altro_vs_admm_qp_same_forces(mpc_scenario):
 
     opts_tight = OPTS.replace(cost_tolerance=1e-6, constraint_tolerance=1e-6,
                               gradient_tolerance=1e-8)
-    f_altro, U_a, _, it_a, st_a = controller.mpc_solve_forces(
+    f_altro, U_a, _, it_a, st_a, _ = controller.mpc_solve_forces(
         "altro", prob, opts_tight, x_curr, x_ref, contacts, foot_locs,
         cfg.dynamics_discretization, U0, duals)
-    f_qp, U_q, _, it_q, st_q = controller.mpc_solve_forces(
+    f_qp, U_q, _, it_q, st_q, _ = controller.mpc_solve_forces(
         "admm_qp", prob, opts_tight.replace(cost_tolerance=1e-8), x_curr,
         x_ref, contacts, foot_locs, cfg.dynamics_discretization, U0, duals)
     assert int(st_a) == 1 and int(st_q) == 1
@@ -153,10 +153,10 @@ def test_altro_soc_vs_admm_conic_same_forces(mpc_scenario):
 
     opts_tight = OPTS.replace(cost_tolerance=1e-6, constraint_tolerance=1e-6,
                               gradient_tolerance=1e-8)
-    f_altro, _, _, _, st_a = controller.mpc_solve_forces(
+    f_altro, _, _, _, st_a, _ = controller.mpc_solve_forces(
         "altro", prob_soc, opts_tight, x_curr, x_ref, contacts, foot_locs,
         cfg.dynamics_discretization, U0, duals)
-    f_con, _, _, _, st_c = controller.mpc_solve_forces(
+    f_con, _, _, _, st_c, _ = controller.mpc_solve_forces(
         "admm_conic", prob_soc, opts_tight.replace(cost_tolerance=1e-8),
         x_curr, x_ref, contacts, foot_locs, cfg.dynamics_discretization, U0,
         duals)
