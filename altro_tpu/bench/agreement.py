@@ -148,9 +148,11 @@ def phase2_cpu(in_npz: str, out_json: str):
         max_dU_cpu_f64_vs_native_cpp=(
             float(np.max(d_f64_nat)) if d_f64_nat else None),
         native_success=(int(min(statuses)) if statuses else None),
-        note=("dU at TPU tolerance 1e-4 reflects the solver's dJ-based stop "
-              "(error ~ sqrt(2 dJ / lambda_min)); the 1e-6 row isolates the "
-              "f32-hardware floor"),
+        note=("identical instances (x0 recorded on TPU, window/problem "
+              "rebuilt deterministically); before the construction-path "
+              "matmul-precision pinning (costs/dynamics, commit-tagged) the "
+              "TPU tracked a bf16-perturbed reference and showed a uniform "
+              "2.4e-2 offset here"),
     )
     os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)
     with open(out_json, "w") as f:

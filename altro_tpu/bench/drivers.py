@@ -83,23 +83,38 @@ def host_lockstep(prob_mpc, opts, X_track, U_track, noise, *, conic=False,
     # (the reference's OSQP setup-once + update! pattern); time-varying
     # constraints refactor per step.
     fixed = constraints_fn is None
-    if conic:
-        work0 = admm_conic.setup(to_batch_conic(prob_mpc)) if fixed else None
+    if not fixed:
+        # time-varying constraints (grasp/quadruped pattern): per-step A
+        # changes, so run the MPC-structured knot ADMM with setup-once
+        # scalings + cheap banded refactor (knot_admm.py) instead of a full
+        # dense re-setup per step — the reference's OSQP/ECOS baselines are
+        # timing-grade, the oracle must be too
+        from altro_tpu.solver import knot_admm
+        kwork0 = knot_admm.setup(knot_admm.to_knot_qp(prob_mpc))
+
+        def baseline(prob_k, xw, yw):
+            kqp = knot_admm.to_knot_qp(prob_k)
+            sol = knot_admm.solve(knot_admm.refactor(kwork0, kqp),
+                                  eps_abs=baseline_eps,
+                                  eps_rel=baseline_eps_rel,
+                                  max_iter=20000)
+            return sol.X, sol.U, xw, yw, sol.iterations, sol.status
+    elif conic:
+        work0 = admm_conic.setup(to_batch_conic(prob_mpc))
 
         def baseline(prob_k, xw, yw):
             data = to_batch_conic(prob_k)
-            work = work0.replace(prob=data) if fixed \
-                else admm_conic.setup(data)
+            work = work0.replace(prob=data)
             sol = admm_conic.solve(work, x0=xw, y0=yw, eps_abs=baseline_eps,
                                    eps_rel=baseline_eps_rel)
             X, U = admm_conic.extract_traj(data, sol.x)
             return X, U, sol.x, sol.y, sol.iterations, sol.status
     else:
-        work0 = admm_qp.setup(to_batch_qp(prob_mpc)) if fixed else None
+        work0 = admm_qp.setup(to_batch_qp(prob_mpc))
 
         def baseline(prob_k, xw, yw):
             data = to_batch_qp(prob_k)
-            work = work0.replace(qp=data) if fixed else admm_qp.setup(data)
+            work = work0.replace(qp=data)
             sol = admm_qp.solve(work, x0=xw, y0=yw, eps_abs=baseline_eps,
                                 eps_rel=baseline_eps_rel)
             X, U = admm_qp.extract_traj(data, sol.x)
@@ -275,7 +290,9 @@ def grasp_horizon_sweep(Ns=(11, 21, 31, 41, 51), T: int = 15,
     from altro_tpu.models import grasp
     from altro_tpu.mpc import gen_tracking_mpc
 
-    N, tf = 61, 6.0
+    # reference cold solve: N=251 knots over the same 6 s
+    # (grasp_benchmark.jl:72 "GraspProblem(o,251)" with the tf=6.0 default)
+    N, tf = 251, 6.0
     o = grasp.make_grasp_object(N, tf, dtype=dtype)
     prob = grasp.grasp_problem(o, N, tf, dtype=dtype)
     cold = jax.jit(at.solve)(prob, _opts(
@@ -302,11 +319,21 @@ def grasp_horizon_sweep(Ns=(11, 21, 31, 41, 51), T: int = 15,
                              constraints_fn=fn)
         times["ALTRO"][N_mpc] = rows["altro_ms"]
         times["ADMM-Conic"][N_mpc] = rows["baseline_ms"]
+        # cost-parity gap contextualizes err_U: at tolerance 1e-4 with the
+        # N=251 reference's fine dt the control curvature R*dt is small, so
+        # a dJ-level-optimal pair can disagree by ~sqrt(2 dJ / (R dt)) in
+        # forces while both are optimal to ~1e-3 in cost (the reference's
+        # own convergence-study caveat, run_simple_rocket.jl:146-206)
+        cost_gap = max(abs(a - b) / max(abs(a), 1.0)
+                       for a, b in zip(rows["cost_altro"],
+                                       rows["cost_baseline"]))
         errs[N_mpc] = dict(err_U=max(rows["err_U"]),
+                           cost_parity_gap=cost_gap,
                            success=float(np.mean([s[0] for s in rows["status"]])))
         print(f"  N={N_mpc}: ALTRO {np.mean(rows['altro_ms']):.3f} ms/step, "
               f"conic {np.mean(rows['baseline_ms']):.3f} ms, "
-              f"err_U={errs[N_mpc]['err_U']:.2e}", flush=True)
+              f"err_U={errs[N_mpc]['err_U']:.2e}, "
+              f"cost_gap={cost_gap:.2e}", flush=True)
     return dict(times=times, errs=errs, xlabel="MPC horizon N")
 
 

@@ -43,7 +43,6 @@ def run(Ns=(101, 301, 1001), B=128, n=12, m=6, samples=5):
 
     dtype = jnp.float32
     rng = np.random.default_rng(0)
-    reg = jnp.zeros((), dtype)
     rows = []
     for N in Ns:
         stacks = _instance(rng, N, n, m, dtype)
@@ -52,15 +51,40 @@ def run(Ns=(101, 301, 1001), B=128, n=12, m=6, samples=5):
             (1.0 + 1e-3 * jnp.arange(B, dtype=dtype).reshape(
                 (B,) + (1,) * a.ndim)), stacks)
 
+        REPEATS = 10
+
         def time_fn(fn, label):
-            jfn = jax.jit(jax.vmap(lambda *s: fn(*s, reg)))
-            out = jax.block_until_ready(jfn(*batched))  # compile
+            A_b, B_b, lx_b, lu_b, lxx_b, luu_b, lux_b = batched
+
+            # Chain REPEATS calls with a data dependency (each call's lx
+            # feeds on the previous gains) inside one jit, so no executor
+            # trick can elide or overlap the repeated work; reg must be a
+            # SCALAR inside each vmapped instance (a closed-over [B] array
+            # silently batches every scan carry and blows up the remote
+            # TPU compile).
+            def one(lx):
+                K, d, dV1, dV2 = jax.vmap(
+                    lambda A, Bm, lx1, lu, lxx, luu, lux: fn(
+                        A, Bm, lx1, lu, lxx, luu, lux,
+                        jnp.zeros((), dtype)))(
+                    A_b, B_b, lx, lu_b, lxx_b, luu_b, lux_b)
+                # scalar data dependency on the full backward output
+                return lx + 1e-6 * jnp.mean(d)
+
+            def chain(lx):
+                def body(lx, _):
+                    return one(lx), ()
+                lx, _ = jax.lax.scan(body, lx, None, length=REPEATS)
+                return lx
+
+            jchain = jax.jit(chain)
+            out = jax.block_until_ready(jchain(lx_b))  # compile
             times = []
             for _ in range(samples):
                 t0 = time.perf_counter()
-                out = jfn(*batched)
-                jax.block_until_ready(out[0])
-                times.append((time.perf_counter() - t0) * 1e3)
+                out = jchain(lx_b)
+                jax.block_until_ready(out)
+                times.append((time.perf_counter() - t0) / REPEATS * 1e3)
             med = float(np.median(times))
             print(f"  N={N} {label}: {med:.3f} ms (B={B})", flush=True)
             return med

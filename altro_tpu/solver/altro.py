@@ -282,9 +282,22 @@ def _expand_backward_vmap(axis_size, in_batched, cost, dynA, dynB, blocks,
         U_b = bcast(U, in_batched[5])
         lams_b = bcast(lams, in_batched[6])
         rhos_b = bcast(rhos, in_batched[7])
-        out = jax.vmap(_expand_backward_base,
-                       in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))(
-            cost_b, dynA_b, dynB_b, blocks_b, X_b, U_b, lams_b, rhos_b, reg)
+
+        # Expansion runs XLA-side (batched einsums — fine on the MXU), but
+        # the backward pass goes through the custom_vmap'd backward_pass so
+        # the SOC configs still hit the Pallas lane-packed Riccati kernel.
+        # Routing everything through _expand_backward_base instead would run
+        # the backward as a vmapped XLA scan — the measured-pathological
+        # path (CLAUDE.md: 28.9 ms vs 0.29 ms at B=1024).
+        def expand_one(cost, blocks, X, U, lams, rhos):
+            duals = tuple(DualState(lam=l, rho=r)
+                          for l, r in zip(lams, rhos))
+            return _al_expansion_cd(cost, blocks, duals, X, U)
+
+        lx, lu, lxx, luu, lux = jax.vmap(expand_one)(
+            cost_b, blocks_b, X_b, U_b, lams_b, rhos_b)
+        out = jax.vmap(backward_pass)(dynA_b, dynB_b, lx, lu, lxx, luu,
+                                      lux, reg)
     return out, (True, True, True, True)
 
 
