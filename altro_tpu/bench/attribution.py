@@ -342,6 +342,7 @@ def main():
     p.add_argument("--batch", type=int, default=1024)
     args = p.parse_args()
     res = run(B=args.batch)
+    res.update(run_overhead(B=args.batch))
     res = {k: round(v, 4) for k, v in res.items()}
     res.update(run_slope(B=args.batch))
     res["batch"] = args.batch

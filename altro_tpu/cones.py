@@ -142,6 +142,50 @@ def project_polar_jacobian(cone: Cone, z):
     raise ValueError(f"unknown cone {cone!r}")
 
 
+def soc_polar_curvature_factors(z):
+    """Exact diag + rank-2 factorization of the SOC polar-projection
+    Jacobian: J_polar(z) = diag(w) + c1 * u1 u1' + c2 * u2 u2'.
+
+    With z = (v, s), a = ||v||, v_hat = v / a, gamma = (a - s) / (2a):
+
+      inside  (a <= s):  J = 0          -> w = 0,            c1 = c2 = 0
+      polar   (a <= -s): J = I          -> w = 1,            c1 = c2 = 0
+      boundary:          w = (gamma,...,gamma,0),
+                         c1 = -gamma, u1 = (v_hat, 0),
+                         c2 = 1/2,    u2 = (-v_hat, 1)
+
+    (Derivation: J_polar = I - J_soc with the closed-form boundary blocks of
+    :func:`project_soc_jacobian`; the vv block (a-s)/(2a) I + s/(2a) vh vh'
+    splits as gamma I + (1/2 - gamma) vh vh'.) This lets the AL expansion
+    contract C' J C as a weighted C'C plus two rank-1 outer products instead
+    of materializing [N, p, p] Jacobians — the dominant cost of the
+    XLA-side SOC expansion at batch width. Shapes: z [..., p] ->
+    w [..., p], c1/c2 [...], u1/u2 [..., p].
+    """
+    v, s, a, a_safe = _soc_parts(z)
+    p = z.shape[-1]
+    dtype = z.dtype
+    vh = v / a_safe[..., None]
+    gamma = (a - s) / (2.0 * a_safe)
+
+    inside = a <= s
+    in_polar = a <= -s
+    boundary = ~(inside | in_polar)
+    bnd = boundary.astype(dtype)
+
+    last = jnp.zeros((p,), dtype).at[-1].set(1.0)
+    head = 1.0 - last
+    w = (bnd * gamma)[..., None] * head \
+        + in_polar.astype(dtype)[..., None] * jnp.ones((p,), dtype)
+    c1 = -(bnd * gamma)
+    c2 = 0.5 * bnd
+    zeros_s = jnp.zeros_like(s)
+    ones_s = jnp.ones_like(s)
+    u1 = jnp.concatenate([vh, zeros_s[..., None]], axis=-1)
+    u2 = jnp.concatenate([-vh, ones_s[..., None]], axis=-1)
+    return w, c1, u1, c2, u2
+
+
 def violation(cone: Cone, c):
     """Elementwise infeasibility vector: c - proj_K(c).
 

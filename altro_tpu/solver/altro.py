@@ -109,18 +109,35 @@ def _al_expansion_cd(cost, constraints, duals, X, U):
         Cx, Cu = con.jacobians(X, U)  # constants for affine blocks
         lx = lx + jnp.einsum("kpn,kp->kn", Cx, g)
         lu = lu + jnp.einsum("kpm,kp->km", Cu, g)
-        if kind == "diag":
-            # orthant/zero cones: curvature is diagonal — contract
-            # C' diag(w) C without materializing [N, p, p] Jacobians
-            WCx = H[:, :, None] * Cx
-            WCu = H[:, :, None] * Cu
-            lxx = lxx + jnp.einsum("kpi,kpj->kij", Cx, WCx)
-            luu = luu + jnp.einsum("kpi,kpj->kij", Cu, WCu)
-            lux = lux + jnp.einsum("kpi,kpj->kij", Cu, WCx)
-        else:
+        if kind == "dense":
+            # small cones: the [N, p, p] contraction is tiny — fewer
+            # dispatched ops beat the factored form (al_terms_structured)
             lxx = lxx + jnp.einsum("kpi,kpq,kqj->kij", Cx, H, Cx)
             luu = luu + jnp.einsum("kpi,kpq,kqj->kij", Cu, H, Cu)
             lux = lux + jnp.einsum("kpi,kpq,kqj->kij", Cu, H, Cx)
+        else:
+            if kind == "diag":
+                w, ranks = H, ()
+            else:
+                w, ranks = H  # 'diag_lr': SOC diag + rank-2 factorization
+            # curvature is diag(w) (+ rank-1 terms) — contract C' diag(w) C
+            # without materializing [N, p, p] Jacobians
+            WCx = w[:, :, None] * Cx
+            WCu = w[:, :, None] * Cu
+            lxx = lxx + jnp.einsum("kpi,kpj->kij", Cx, WCx)
+            luu = luu + jnp.einsum("kpi,kpj->kij", Cu, WCu)
+            lux = lux + jnp.einsum("kpi,kpj->kij", Cu, WCx)
+            for coef, u in ranks:
+                # coef_k * (C' u)(C' u)' — rank-1 outer products of
+                # [N, n]/[N, m] vectors (the SOC Jacobian eigenstructure)
+                ax = jnp.einsum("kpn,kp->kn", Cx, u)
+                au = jnp.einsum("kpm,kp->km", Cu, u)
+                lxx = lxx + coef[:, None, None] * (ax[:, :, None]
+                                                   * ax[:, None, :])
+                luu = luu + coef[:, None, None] * (au[:, :, None]
+                                                   * au[:, None, :])
+                lux = lux + coef[:, None, None] * (au[:, :, None]
+                                                   * ax[:, None, :])
         if not con.is_affine:
             # exact multiplier-weighted constraint curvature (full Newton on
             # the AL for nonlinear blocks; affine blocks contribute none)
@@ -428,7 +445,20 @@ def _solve(prob: Problem, opts: SolverOptions,
     N, n, m = prob.N, prob.n, prob.m
     if U0 is None:
         U0 = jnp.zeros((N - 1, m), dtype)
-    X0 = prob.dynamics.rollout(prob.x0, U0)
+    if isinstance(prob.dynamics, LTVDynamics):
+        # Open-loop warm-start rollout through the ladder-rollout boundary:
+        # with K = 0, d = 0 the closed-loop ladder (L=1, alpha=1) reduces to
+        # x+ = A x + B u0 + d. Under vmap this dispatches to the Pallas
+        # lane-packed rollout kernel instead of a vmapped scan over broadcast
+        # dynamics stacks — the measured-pathological XLA path (CLAUDE.md).
+        dyn = prob.dynamics
+        Xb0 = jnp.zeros((N, n), dtype).at[0].set(prob.x0)
+        Xts, _ = _ls_rollouts_fn((1.0,))(
+            dyn.A, dyn.B, dyn.d, Xb0, U0,
+            jnp.zeros((N - 1, m, n), dtype), jnp.zeros((N - 1, m), dtype))
+        X0 = Xts[0]
+    else:
+        X0 = prob.dynamics.rollout(prob.x0, U0)
 
     if duals is None:
         duals = prob.init_duals(opts.penalty_initial)

@@ -74,3 +74,48 @@ def test_violation_semantics():
     # infeasible equality: violation is the residual itself
     c = jnp.array([0.3, -0.2])
     np.testing.assert_allclose(cones.violation(Cone.ZERO, c), c, atol=1e-12)
+
+
+def test_soc_curvature_factors_reconstruct_jacobian():
+    # diag + rank-2 factorization must reproduce the closed-form polar
+    # Jacobian in all three regions (inside / polar / boundary)
+    key = jax.random.PRNGKey(3)
+    zs = jax.random.normal(key, (256, 13))
+    # force some rows into each region
+    zs = zs.at[0, -1].set(100.0).at[1, -1].set(-100.0)
+    w, c1, u1, c2, u2 = jax.vmap(cones.soc_polar_curvature_factors)(zs)
+    J_fac = (jax.vmap(jnp.diag)(w)
+             + c1[:, None, None] * u1[:, :, None] * u1[:, None, :]
+             + c2[:, None, None] * u2[:, :, None] * u2[:, None, :])
+    J_closed = cones.project_polar_jacobian(Cone.SOC, zs)
+    np.testing.assert_allclose(J_fac, J_closed, atol=1e-10)
+
+
+def test_al_terms_structured_factored_soc_matches_dense():
+    # a wide SOC block (p >= 12) takes the 'diag_lr' path; its contracted
+    # curvature must equal the dense al_terms curvature
+    from altro_tpu import constraints as CN
+
+    key = jax.random.PRNGKey(7)
+    N, n, m, p = 5, 4, 3, 13
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    con = CN.ConicConstraint(
+        Cx=jax.random.normal(k1, (N, p, n)),
+        Cu=jax.random.normal(k2, (N, p, m)),
+        b=jax.random.normal(k3, (N, p)),
+        cone=Cone.SOC, mask=jnp.ones((N,)), name="wide_soc")
+    dual = CN.DualState(lam=0.1 * jax.random.normal(k4, (N, p)),
+                        rho=jnp.full((N,), 2.5))
+    X = jax.random.normal(k5, (N, n))
+    U = jax.random.normal(k1, (N - 1, m))
+    g, (kind, H) = CN.al_terms_structured(con, dual, X, U)
+    assert kind == "diag_lr"
+    w, ((c1, u1), (c2, u2)) = H
+    Cx = con.Cx
+    J_fac = (jax.vmap(jax.vmap(jnp.diag))(w[None])[0]
+             + c1[:, None, None] * u1[:, :, None] * u1[:, None, :]
+             + c2[:, None, None] * u2[:, :, None] * u2[:, None, :])
+    lxx_fac = jnp.einsum("kpi,kpq,kqj->kij", Cx, J_fac, Cx)
+    _, _, Hd = CN.al_terms(con, dual, X, U)
+    lxx_dense = jnp.einsum("kpi,kpq,kqj->kij", Cx, Hd, Cx)
+    np.testing.assert_allclose(lxx_fac, lxx_dense, atol=1e-9)
