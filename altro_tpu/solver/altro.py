@@ -473,16 +473,49 @@ def _solve(prob: Problem, opts: SolverOptions,
     zero = jnp.zeros((), dtype)
     K0 = jnp.zeros((N - 1, m, n), dtype)
 
-    # ---------------- inner iLQR loop ----------------
-    def ilqr(X, U, duals, reg, iters):
-        J0 = total_al_cost(prob, duals, X, U)
+    # ---------------- flat AL + iLQR loop ----------------
+    # One while_loop instead of outer-AL-around-inner-iLQR. Each iteration is
+    # one iLQR step; when a lane's inner phase converges (or hits the inner
+    # cap) the AL round bookkeeping — dual update, penalty scaling, violation
+    # check — is applied inline under a mask. Three wins on TPU:
+    #   * no synchronized round barriers under vmap: wall iterations are the
+    #     max over lanes of TOTAL iterations, not the sum over rounds of the
+    #     slowest lane's count per round (the SOC batches diverge hard);
+    #   * the per-round J0 re-evaluation disappears — the line-search ladder
+    #     carries a trailing alpha=0 rung whose rollout reproduces the
+    #     current trajectory exactly, so Jts[-1] IS the current AL cost
+    #     under the current duals;
+    #   * one constraint evaluation per round end drives both the violation
+    #     metric and the dual/penalty update (they were separate passes).
+    def round_end_update(Xn, Un, duals):
+        from ..cones import violation as cone_violation
 
+        viol_r = jnp.zeros((), dtype)
+        lams = []
+        for con, dual in zip(prob.constraints, duals):
+            c = con.evaluate(Xn, Un)
+            v = cone_violation(con.cone, c) * con.mask[:, None]
+            viol_r = jnp.maximum(viol_r, jnp.max(jnp.abs(v)))
+            z = dual.lam + dual.rho[:, None] * c
+            lams.append(project_polar(con.cone, z) * con.mask[:, None])
+        converged = viol_r < opts.constraint_tolerance
+        # dual update always (warm-start-quality multipliers); penalty
+        # scaling only while unconverged.
+        new_duals = tuple(
+            DualState(lam=lam,
+                      rho=jnp.where(converged, dual.rho,
+                                    jnp.minimum(dual.rho * opts.penalty_scaling,
+                                                opts.penalty_max)))
+            for lam, dual in zip(lams, duals))
+        return viol_r, converged, new_duals
+
+    def flat_solve(X0, U0, duals0):
         def cond(s):
-            X, U, J, K, reg, grad, it, done = s
-            return (~done) & (it < opts.iterations_inner)
+            X, U, K, duals, reg, grad, viol, it_rd, it, rounds, done = s
+            return (~done) & (rounds < opts.iterations_outer)
 
         def body(s):
-            X, U, J, K, reg, grad, it, done = s
+            X, U, K, duals, reg, grad, viol, it_rd, it, rounds, done = s
             # The fully-fused expansion+backward kernel is EXPERIMENTAL:
             # its scalar-heavy Mosaic lowering hangs the remote TPU compiler
             # (round-2 item; see CLAUDE.md). Opt in with ALTRO_TPU_FUSED=1.
@@ -533,9 +566,13 @@ def _solve(prob: Problem, opts: SolverOptions,
             # pass, no sequential while_loop — both faster on TPU (the L
             # rollouts vectorize; LTV dynamics dispatch to the fused Pallas
             # ladder-rollout kernel under vmap) and far cheaper to compile
-            # than a third nested while.
+            # than a third nested while. The trailing alpha = 0 rung
+            # reproduces the current trajectory (x starts on Xbar and the
+            # feedback term vanishes), so Jts[-1] is the current AL cost —
+            # no separate J0 evaluation anywhere in the solve.
             alphas_t = tuple(opts.ls_decrease ** i
-                             for i in range(opts.iterations_linesearch))
+                             for i in range(opts.iterations_linesearch)) \
+                + (0.0,)
             alphas = jnp.asarray(alphas_t, dtype)
             if isinstance(prob.dynamics, LTVDynamics):
                 dyn = prob.dynamics
@@ -551,6 +588,7 @@ def _solve(prob: Problem, opts: SolverOptions,
                     return Xt, Ut, Jt
 
                 Xts, Uts, Jts = jax.vmap(try_alpha)(alphas)
+            J = Jts[-1]
             expected = -(alphas * dV1 + alphas * alphas * dV2)
             ratio = (J - Jts) / jnp.maximum(expected, 1e-12)
             oks = jnp.where(expected > 1e-12, ratio > opts.ls_min_ratio,
@@ -570,65 +608,41 @@ def _solve(prob: Problem, opts: SolverOptions,
 
             dJ = J - Jn
             stuck = (~accepted) & (reg >= opts.reg_max)
-            new_done = pre_done | (accepted & (dJ < opts.cost_tolerance)) | stuck
+            inner_done = (pre_done | (accepted & (dJ < opts.cost_tolerance))
+                          | stuck)
+            round_end = inner_done | (it_rd + 1 >= opts.iterations_inner)
 
-            out = (Xn, Un, Jn, Knew, reg_new, grad_new, it + 1, new_done)
-            keep = (X, U, J, K, reg, grad, it, done)
+            # masked AL round bookkeeping
+            viol_r, converged_r, duals_r = round_end_update(Xn, Un, duals)
+            duals_new = _where_tree(round_end, duals_r, duals)
+            viol_new = jnp.where(round_end, viol_r, viol)
+            it_rd_new = jnp.where(round_end, 0, it_rd + 1)
+            rounds_new = rounds + round_end.astype(jnp.int32)
+            done_new = round_end & converged_r
+
+            out = (Xn, Un, Knew, duals_new, reg_new, grad_new, viol_new,
+                   it_rd_new, it + 1, rounds_new, done_new)
+            keep = s
             return _where_tree(done, keep, out)
 
-        s0 = (X, U, J0, K0, reg, jnp.asarray(jnp.inf, dtype),
+        s0 = (X0, U0, K0, duals0, jnp.asarray(opts.reg_initial, dtype),
+              jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
+              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
               jnp.zeros((), jnp.int32), jnp.zeros((), bool))
-        X, U, J, K, reg, grad, it, _ = jax.lax.while_loop(cond, body, s0)
-        return X, U, J, K, reg, grad, iters + it
+        return jax.lax.while_loop(cond, body, s0)
 
-    # ---------------- outer AL loop ----------------
-    def al_cond(s):
-        X, U, K, duals, reg, grad, viol, it_in, it_out, done = s
-        return (~done) & (it_out < opts.iterations_outer)
-
-    def al_body(s):
-        X, U, K, duals, reg, grad, viol, it_in, it_out, done = s
-        Xn, Un, _, Kn, regn, gradn, it_in_n = ilqr(X, U, duals, reg, it_in)
-        violn = prob.max_violation(Xn, Un)
-        converged = violn < opts.constraint_tolerance
-
-        # Dual update always (warm-start-quality multipliers); penalty scaling
-        # only while unconverged.
-        new_duals = []
-        for con, dual in zip(prob.constraints, duals):
-            c = con.evaluate(Xn, Un)
-            z = dual.lam + dual.rho[:, None] * c
-            lam = project_polar(con.cone, z) * con.mask[:, None]
-            rho = jnp.where(converged, dual.rho,
-                            jnp.minimum(dual.rho * opts.penalty_scaling,
-                                        opts.penalty_max))
-            new_duals.append(DualState(lam=lam, rho=rho))
-        new_duals = tuple(new_duals)
-
-        out = (Xn, Un, Kn, new_duals, regn, gradn, violn, it_in_n,
-               it_out + 1, converged)
-        keep = s
-        return _where_tree(done, keep, out)
+    X, U, K, duals, reg, grad, viol, it_rd, it, rounds, done = \
+        flat_solve(X0, U0, duals)
 
     if len(prob.constraints) == 0:
-        X, U, J, K, reg, grad, it_in = ilqr(
-            X0, U0, duals, jnp.asarray(opts.reg_initial, dtype),
-            jnp.zeros((), jnp.int32))
-        stats = Stats(iterations=it_in, outer_iterations=jnp.ones((), jnp.int32),
-                      cost=prob.cost.total(X, U), viol=zero, gradient=grad,
-                      status=jnp.ones((), jnp.int32))
-        return Solution(X=X, U=U, K=K, duals=duals, stats=stats)
-
-    s0 = (X0, U0, K0, duals, jnp.asarray(opts.reg_initial, dtype),
-          jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
-          jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-          jnp.zeros((), bool))
-    X, U, K, duals, reg, grad, viol, it_in, it_out, done = \
-        jax.lax.while_loop(al_cond, al_body, s0)
+        # unconstrained: round_end_update reports zero violation, so the
+        # first inner convergence (or inner cap) ends the solve; status is
+        # unconditional success (parity with the nested unconstrained path)
+        viol = zero
 
     stats = Stats(
-        iterations=it_in,
-        outer_iterations=it_out,
+        iterations=it,
+        outer_iterations=rounds,
         cost=prob.cost.total(X, U),
         viol=viol,
         gradient=grad,
