@@ -92,6 +92,29 @@ def total_al_cost(prob: Problem, duals, X, U):
     return J
 
 
+def total_al_cost_res(prob: Problem, duals, X, U):
+    """AL cost plus the per-block residuals c and projected duals
+    ctilde = proj_polar(lam + rho c) it computes along the way.
+
+    The line-search ladder evaluates this per rung; the solver reuses the
+    accepted rung's (c, ctilde) for the AL round-end violation check and
+    dual update instead of re-evaluating every constraint block — one
+    constraint pass per iteration instead of two."""
+    J = prob.cost.total(X, U)
+    cs, cts = [], []
+    for con, dual in zip(prob.constraints, duals):
+        c = con.evaluate(X, U)
+        z = dual.lam + dual.rho[:, None] * c
+        ct = project_polar(con.cone, z)
+        J = J + jnp.sum(
+            con.mask * (jnp.sum(ct * ct, axis=-1)
+                        - jnp.sum(dual.lam ** 2, axis=-1))
+            / (2.0 * dual.rho))
+        cs.append(c)
+        cts.append(ct)
+    return J, (tuple(cs), tuple(cts))
+
+
 def al_expansion(prob: Problem, duals, X, U):
     """Quadratic expansion of the AL objective along (X, U).
 
@@ -487,17 +510,18 @@ def _solve(prob: Problem, opts: SolverOptions,
     #     under the current duals;
     #   * one constraint evaluation per round end drives both the violation
     #     metric and the dual/penalty update (they were separate passes).
-    def round_end_update(Xn, Un, duals):
+    def round_end_update(cs, cts, duals):
+        """AL round bookkeeping from the accepted rung's precomputed
+        residuals (cs) and projected duals (cts) — no constraint
+        re-evaluation."""
         from ..cones import violation as cone_violation
 
         viol_r = jnp.zeros((), dtype)
         lams = []
-        for con, dual in zip(prob.constraints, duals):
-            c = con.evaluate(Xn, Un)
+        for con, c, ct in zip(prob.constraints, cs, cts):
             v = cone_violation(con.cone, c) * con.mask[:, None]
             viol_r = jnp.maximum(viol_r, jnp.max(jnp.abs(v)))
-            z = dual.lam + dual.rho[:, None] * c
-            lams.append(project_polar(con.cone, z) * con.mask[:, None])
+            lams.append(ct * con.mask[:, None])
         converged = viol_r < opts.constraint_tolerance
         # dual update always (warm-start-quality multipliers); penalty
         # scaling only while unconverged.
@@ -578,16 +602,17 @@ def _solve(prob: Problem, opts: SolverOptions,
                 dyn = prob.dynamics
                 Xts, Uts = _ls_rollouts_fn(alphas_t)(
                     dyn.A, dyn.B, dyn.d, X, U, Knew, dff)
-                Jts = jax.vmap(
-                    lambda Xt, Ut: total_al_cost(prob, duals, Xt, Ut))(Xts, Uts)
+                Jts, (Cts, CTts) = jax.vmap(
+                    lambda Xt, Ut: total_al_cost_res(prob, duals, Xt, Ut))(
+                    Xts, Uts)
             else:
                 def try_alpha(alpha):
                     Xt, Ut = rollout_closed_loop(prob.dynamics, X, U, Knew,
                                                  dff, alpha)
-                    Jt = total_al_cost(prob, duals, Xt, Ut)
-                    return Xt, Ut, Jt
+                    Jt, res = total_al_cost_res(prob, duals, Xt, Ut)
+                    return Xt, Ut, Jt, res
 
-                Xts, Uts, Jts = jax.vmap(try_alpha)(alphas)
+                Xts, Uts, Jts, (Cts, CTts) = jax.vmap(try_alpha)(alphas)
             J = Jts[-1]
             expected = -(alphas * dV1 + alphas * alphas * dV2)
             ratio = (J - Jts) / jnp.maximum(expected, 1e-12)
@@ -598,6 +623,13 @@ def _solve(prob: Problem, opts: SolverOptions,
             Xn = jnp.where(accepted, Xts[idx], X)
             Un = jnp.where(accepted, Uts[idx], U)
             Jn = jnp.where(accepted, Jts[idx], J)
+            # accepted rung's constraint residuals / projected duals (the
+            # alpha=0 rung IS the current trajectory, so the rejected case
+            # selects rung -1)
+            cs_acc = tuple(jnp.where(accepted, Ct[idx], Ct[-1])
+                           for Ct in Cts)
+            cts_acc = tuple(jnp.where(accepted, Ct[idx], Ct[-1])
+                            for Ct in CTts)
 
             # Regularization schedule.
             reg_fail = jnp.clip(jnp.maximum(reg, opts.reg_min) * opts.reg_increase,
@@ -613,7 +645,8 @@ def _solve(prob: Problem, opts: SolverOptions,
             round_end = inner_done | (it_rd + 1 >= opts.iterations_inner)
 
             # masked AL round bookkeeping
-            viol_r, converged_r, duals_r = round_end_update(Xn, Un, duals)
+            viol_r, converged_r, duals_r = round_end_update(cs_acc, cts_acc,
+                                                            duals)
             duals_new = _where_tree(round_end, duals_r, duals)
             viol_new = jnp.where(round_end, viol_r, viol)
             it_rd_new = jnp.where(round_end, 0, it_rd + 1)
