@@ -31,7 +31,10 @@ import jax
 import jax.numpy as jnp
 
 
-REPEATS = 20
+# chain length per timed program: one ~34 ms tunnel RTT is amortized over
+# REPEATS scan steps, so the per-segment floor it adds is RTT/REPEATS
+# (~0.17 ms at 200 — at 20 the floor was 1.7 ms and swamped every segment)
+REPEATS = 200
 
 
 def _chain_time(fn_scalar, label, samples=5):
@@ -91,15 +94,22 @@ def run(B=1024, T=5):
         penalty_scaling=100.0, reset_duals=False, iterations_linesearch=4)
 
     # representative batched state: run a couple of warm steps first
-    step, init_carry = make_mpc_step(pm, opts, X_track, U_track)
-    vstep = jax.jit(jax.vmap(step, in_axes=(0, 0)))
+    step, init_carry = make_mpc_step(pm, opts, X_track, U_track,
+                                     shared_k=True)
+    vstep_k = jax.jit(jax.vmap(step, in_axes=(0, 0, None)))
+    _kc = jnp.asarray(0, jnp.int32)
+    vstep = lambda c, nz, t=0: vstep_k(c, nz, jnp.asarray(t, jnp.int32))
+    # 2-arg form for _pipeline_time (fixed k: the window clamps at the tail,
+    # the retarget still executes every step)
+    vstep2 = lambda c, nz: vstep_k(c, nz, _kc)
     carry = jax.block_until_ready(
         jax.jit(jax.vmap(lambda _: init_carry()))(jnp.arange(B)))
     noise = jnp.asarray(rng.standard_normal((T, B, n)), dtype)
     for t in range(T - 1):
-        carry, out = vstep(carry, noise[t])
+        carry, out = vstep(carry, noise[t], t)
     jax.block_until_ready(carry)
-    x0s, Us, duals, k = carry
+    x0s, Us, duals = carry
+    k = jnp.full((B,), T - 1)
     Xs = jax.jit(jax.vmap(pm.dynamics.rollout))(x0s, Us)
     reg = jnp.zeros((B,), dtype)
 
@@ -108,7 +118,7 @@ def run(B=1024, T=5):
         # full warm step: carry-chained pipelined timing (bench.py pattern)
         noise2 = jnp.asarray(rng.standard_normal((REPEATS, B, n)), dtype)
         res["full_mpc_step"] = _pipeline_time(
-            vstep, carry, noise2, "full MPC step")
+            vstep2, carry, noise2, "full MPC step")
 
         # one full iLQR iteration = expansion+backward + ladder + cost evals
         # (problem data stays UNBATCHED/closed-over like the solver does —
@@ -233,25 +243,52 @@ def run_overhead(B=1024, T=5):
         constraint_tolerance=1e-4, penalty_initial=1e3,
         penalty_scaling=100.0, reset_duals=False, iterations_linesearch=4)
 
-    step, init_carry = make_mpc_step(pm, opts, X_track, U_track)
-    vstep = jax.jit(jax.vmap(step, in_axes=(0, 0)))
+    step, init_carry = make_mpc_step(pm, opts, X_track, U_track,
+                                     shared_k=True)
+    vstep_k = jax.jit(jax.vmap(step, in_axes=(0, 0, None)))
+    _kc = jnp.asarray(0, jnp.int32)
+    vstep = lambda c, nz, t=0: vstep_k(c, nz, jnp.asarray(t, jnp.int32))
+    # 2-arg form for _pipeline_time (fixed k: the window clamps at the tail,
+    # the retarget still executes every step)
+    vstep2 = lambda c, nz: vstep_k(c, nz, _kc)
     carry = jax.block_until_ready(
         jax.jit(jax.vmap(lambda _: init_carry()))(jnp.arange(B)))
     noise = jnp.asarray(rng.standard_normal((T, B, n)), dtype)
     for t in range(T - 1):
-        carry, out = vstep(carry, noise[t])
+        carry, out = vstep(carry, noise[t], t)
     jax.block_until_ready(carry)
-    x0s, Us, duals, k = carry
+    x0s, Us, duals = carry
+    k = jnp.full((B,), T - 1)
     Xs = jax.jit(jax.vmap(pm.dynamics.rollout))(x0s, Us)
 
     res = {}
     with jax.default_matmul_precision("highest"):
         def init_rollout(eps):
-            X = jax.vmap(pm.dynamics.rollout)(x0s + eps, Us)
+            # what the solver actually runs: the L=1 ladder kernel with
+            # K = 0, d = 0 (solver/altro.py warm-start rollout)
+            dyn = pm.dynamics
+            Nn, nn, mm = pm.N, pm.n, pm.m
+
+            def single(x0, U):
+                Xb0 = jnp.zeros((Nn, nn), x0.dtype).at[0].set(x0)
+                Xts, _ = S._ls_rollouts_fn((1.0,))(
+                    dyn.A, dyn.B, dyn.d, Xb0, U,
+                    jnp.zeros((Nn - 1, mm, nn), x0.dtype),
+                    jnp.zeros((Nn - 1, mm), x0.dtype))
+                return Xts[0]
+
+            X = jax.vmap(single)(x0s + eps, Us)
             return jnp.mean(X)
 
         res["init_rollout"] = _chain_time(init_rollout,
-                                          "init open-loop rollout (scan)")
+                                          "init open-loop rollout (ladder L=1)")
+
+        def final_stats(eps):
+            out = jax.vmap(lambda X, U: pm.cost.total(X, U))(Xs + eps, Us)
+            return jnp.mean(out)
+
+        res["final_true_cost"] = _chain_time(final_stats,
+                                             "final true-cost eval (stats)")
 
         def j0(eps):
             return jnp.mean(jax.vmap(
@@ -319,8 +356,11 @@ def run_slope(B=1024, T=5):
             penalty_scaling=100.0, reset_duals=False,
             iterations_linesearch=4, iterations_inner=iters,
             iterations_outer=1)
-        step, init_carry = make_mpc_step(pm, opts, X_track, U_track)
-        vstep = jax.jit(jax.vmap(step, in_axes=(0, 0)))
+        step, init_carry = make_mpc_step(pm, opts, X_track, U_track,
+                                         shared_k=True)
+        vstep_k = jax.jit(jax.vmap(step, in_axes=(0, 0, None)))
+        _kc = jnp.asarray(0, jnp.int32)
+        vstep = lambda c, nz: vstep_k(c, nz, _kc)
         carry = jax.block_until_ready(
             jax.jit(jax.vmap(lambda _: init_carry()))(jnp.arange(B)))
         noise = jnp.asarray(rng.standard_normal((REPEATS, B, n)), dtype)
@@ -336,6 +376,68 @@ def run_slope(B=1024, T=5):
     return out
 
 
+def run_slope_solver(B=1024):
+    """Same forced-iteration slope fit as :func:`run_slope` but on the BARE
+    solver (fixed problem, no MPC-step prep: no x0 propagation, window
+    retarget, shifts, or result assembly). intercept(run_slope) -
+    intercept(run_slope_solver) = the true in-context cost of the MPC step
+    wrapper; the solver intercept itself is init-rollout + duals init +
+    while-loop entry/exit + stats."""
+    import altro_tpu as at
+    from altro_tpu.mpc import make_mpc_step
+    from altro_tpu.models import random_linear as rl
+
+    dtype = jnp.float32
+    rng = np.random.default_rng(1)
+    N_mpc, n, m = 30, 12, 6
+    N_track = N_mpc + 7
+    prob = rl.gen_random_linear(rng, n, m, N_track, dtype=dtype)
+    X_track, U_track = rl.gen_trajectory(rng, prob, N_track)
+    pm = rl.gen_tracking_mpc(prob, X_track, U_track, N_mpc)
+
+    # representative warm state
+    opts_w = at.SolverOptions(
+        cost_tolerance=1e-4, gradient_tolerance=1e-4,
+        constraint_tolerance=1e-4, penalty_initial=1e3,
+        penalty_scaling=100.0, reset_duals=False, iterations_linesearch=4)
+    step, init_carry = make_mpc_step(pm, opts_w, X_track, U_track)
+    carry = jax.block_until_ready(
+        jax.jit(jax.vmap(lambda _: init_carry()))(jnp.arange(B)))
+    x0s, Us, duals, _ = carry
+
+    out = {}
+    for iters in (1, 2, 3, 4):
+        opts = opts_w.replace(cost_tolerance=0.0, gradient_tolerance=0.0,
+                              iterations_inner=iters, iterations_outer=1)
+
+        def solve_only(x0, U, d):
+            sol = at.solve(pm.replace(x0=x0), opts, U0=U, duals=d)
+            return sol.U, sol.duals, sol.stats.iterations
+
+        vsolve = jax.jit(jax.vmap(solve_only))
+        jax.block_until_ready(vsolve(x0s, Us, duals))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ures = None
+            for _ in range(REPEATS // 10):
+                ures = vsolve(x0s, Us, duals)
+            jax.block_until_ready(ures)
+            times.append((time.perf_counter() - t0) / (REPEATS // 10) * 1e3)
+        med = float(np.median(times))
+        out[f"solver_ms_inner{iters}"] = med
+        print(f"  bare solve @ {iters} forced iters          {med:8.3f} ms",
+              flush=True)
+    xs = np.array([1, 2, 3, 4], np.float64)
+    ys = np.array([out[f"solver_ms_inner{i}"] for i in (1, 2, 3, 4)])
+    slope, intercept = np.polyfit(xs, ys, 1)
+    out["solver_per_iteration_ms"] = round(float(slope), 4)
+    out["solver_overhead_ms"] = round(float(intercept), 4)
+    print(f"  bare solver: {slope:.3f} ms/iteration + "
+          f"{intercept:.3f} ms/solve overhead", flush=True)
+    return out
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="results_tpu")
@@ -345,6 +447,7 @@ def main():
     res.update(run_overhead(B=args.batch))
     res = {k: round(v, 4) for k, v in res.items()}
     res.update(run_slope(B=args.batch))
+    res.update(run_slope_solver(B=args.batch))
     res["batch"] = args.batch
     res["device"] = str(jax.devices()[0])
     os.makedirs(args.out, exist_ok=True)

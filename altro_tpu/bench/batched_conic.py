@@ -34,11 +34,12 @@ def _throughput(step, init_carry, noise, label):
     latency pass."""
     B = noise.shape[1]
     T = noise.shape[0]
-    vstep = jax.jit(jax.vmap(step, in_axes=(0, 0)))
+    vstep = jax.jit(jax.vmap(step, in_axes=(0, 0, None)))
+    ks = [jnp.asarray(t, jnp.int32) for t in range(T)]
     carry0 = jax.block_until_ready(
         jax.jit(jax.vmap(lambda _: init_carry()))(jnp.arange(B)))
     t0 = time.perf_counter()
-    carry, out = vstep(carry0, noise[0])
+    carry, out = vstep(carry0, noise[0], ks[0])
     jax.block_until_ready(carry)
     compile_s = time.perf_counter() - t0
 
@@ -46,7 +47,7 @@ def _throughput(step, init_carry, noise, label):
     statuses, viols, iters = [], [], []
     t0 = time.perf_counter()
     for t in range(T):
-        carry, out = vstep(carry, noise[t])
+        carry, out = vstep(carry, noise[t], ks[t])
         statuses.append(out.status)
         viols.append(out.viol)
         iters.append(out.iters)
@@ -57,7 +58,7 @@ def _throughput(step, init_carry, noise, label):
     carry_l = carry0
     for t in range(min(T, 10)):
         ts = time.perf_counter()
-        carry_l, out_l = vstep(carry_l, noise[t])
+        carry_l, out_l = vstep(carry_l, noise[t], ks[t])
         jax.block_until_ready(out_l.status)
         step_ms.append((time.perf_counter() - ts) * 1e3)
 
@@ -81,7 +82,8 @@ def _throughput(step, init_carry, noise, label):
     return res
 
 
-def rocket_batched(B: int = 1024, T: int = 30, N_mpc: int = 21):
+def rocket_batched(B: int = 1024, T: int = 30, N_mpc: int = 21,
+                   opts_override: dict = None):
     """Rocket soft-landing SOC MPC (max-thrust + thrust-angle + glideslope
     cones; reference MPC config run_simple_rocket.jl:118-132), batched over
     scenarios differing in process noise (wp=1e-3, wv=1e-2)."""
@@ -103,16 +105,24 @@ def rocket_batched(B: int = 1024, T: int = 30, N_mpc: int = 21):
           f"viol={float(cold.stats.viol):.2e}", flush=True)
 
     prob_mpc = gen_tracking_mpc(prob, cold.X, cold.U, N_mpc, dt=0.05)
-    opts = at.SolverOptions(
+    # warm-solve tuning (measured on TPU, B=1024: penalty_initial=1e3 /
+    # scaling=10 / reset each solve took 20.5 mean iters -> 8.3k solves/s;
+    # carrying converged penalties across solves with a taller initial cuts
+    # the WORST-lane iteration count — wall time follows the batch max —
+    # and lands 11.6k solves/s; see tools/exp_conic_tune.py)
+    okw = dict(
         cost_tolerance=1e-4, gradient_tolerance=1e-6,
-        constraint_tolerance=1e-4, penalty_initial=1e3,
-        penalty_scaling=10.0, reset_duals=False, iterations_outer=10)
+        constraint_tolerance=1e-4, penalty_initial=1e4,
+        penalty_scaling=10.0, reset_duals=False, reset_penalties=False,
+        iterations_outer=10)
+    okw.update(opts_override or {})
+    opts = at.SolverOptions(**okw)
 
     rng = np.random.default_rng(1)
     noise = jnp.asarray(rng.standard_normal((T, B, 6)), dtype)
     step, init_carry = make_mpc_step(
         prob_mpc, opts, cold.X, cold.U,
-        noise_model=rocket.rocket_noise_model())
+        noise_model=rocket.rocket_noise_model(), shared_k=True)
     res = _throughput(step, init_carry, noise, "rocket_soc_mpc_N21")
     res["cold_status"] = int(cold.stats.status)
     return res
@@ -153,7 +163,7 @@ def grasp_batched(B: int = 1024, T: int = 15, N_mpc: int = 21):
     noise = jnp.asarray(rng.standard_normal((T, B, 6)), dtype)
     fn = lambda k: grasp.grasp_constraints(o, N_mpc, k, dtype=dtype)
     step, init_carry = make_mpc_step(prob_mpc, opts, cold.X, cold.U,
-                                     constraints_fn=fn)
+                                     constraints_fn=fn, shared_k=True)
     return _throughput(step, init_carry, noise, "grasp_tv_soc_mpc_N21")
 
 

@@ -279,6 +279,126 @@ def rocket_tol_sweep(tols=(1e-2, 1e-4, 1e-6, 1e-8), T: int = 20,
     return dict(rows=out, cold_iterations=int(cold.stats.iterations))
 
 
+def rocket_multibaseline_tol(tols=(1e-2, 1e-4, 1e-6, 1e-8), T: int = 10,
+                             N_mpc: int = 21, dtype=jnp.float64):
+    """Four-solver tolerance study (the reference's headline rocket figure:
+    ALTRO vs ECOS vs COSMO vs Mosek at matched tolerances,
+    run_simple_rocket.jl:146-201 / figures/rocket_solver_tol.tikz).
+
+    Solver roles here: conic AL-iLQR (ALTRO), dense conic ADMM
+    (SCS/COSMO-form splitting), MPC-structured knot ADMM, and the native
+    C++ conic oracle (the one non-JAX implementation). For each tolerance
+    the ALTRO closed loop defines the instance sequence; every baseline
+    solves the identical instances at the same eps, and every solver's
+    control error is measured against an independent tight solve (native
+    C++ at 1e-9) of the same instance."""
+    import altro_tpu as at
+    from altro_tpu import native
+    from altro_tpu.costs import retarget_tracking
+    from altro_tpu.models import rocket
+    from altro_tpu.mpc import (gen_tracking_mpc, make_mpc_step,
+                               track_window)
+    from altro_tpu.solver import admm_conic, knot_admm
+    from altro_tpu.transcribe import to_batch_conic
+
+    N = 301
+    prob = rocket.rocket_problem(N=N, tf=(N - 1) * 0.05, dtype=dtype)
+    cold = jax.jit(at.solve)(prob, _opts(
+        cost_tolerance=1e-6, gradient_tolerance=1e-8,
+        constraint_tolerance=1e-5, penalty_initial=1e-2, penalty_scaling=500.0,
+        iterations_outer=40, iterations_inner=100),
+        U0=rocket.hover_controls(prob))
+    prob_mpc = gen_tracking_mpc(prob, cold.X, cold.U, N_mpc, dt=0.05)
+    rng = np.random.default_rng(1)
+    noise = jnp.asarray(rng.standard_normal((T, 6)), dtype)
+    nm = rocket.rocket_noise_model()
+
+    conic0 = to_batch_conic(prob_mpc)
+    cwork0 = admm_conic.setup(conic0)
+    kwork0 = knot_admm.setup(knot_admm.to_knot_qp(prob_mpc))
+
+    def prob_at(k, x0):
+        Xw, Uw = track_window(cold.X, cold.U, k, N_mpc)
+        return prob_mpc.replace(
+            cost=retarget_tracking(prob_mpc.cost, Xw, Uw), x0=x0)
+
+    def dense_solve(prob_k, eps):
+        data = to_batch_conic(prob_k)
+        sol = admm_conic.solve(cwork0.replace(prob=data), eps_abs=eps,
+                               max_iter=100000)
+        X, U = admm_conic.extract_traj(data, sol.x)
+        return U, sol.status
+
+    def knot_solve(prob_k, eps):
+        kqp = knot_admm.to_knot_qp(prob_k)
+        sol = knot_admm.solve(knot_admm.refactor(kwork0, kqp), eps_abs=eps,
+                              max_iter=20000)
+        return sol.U, sol.status
+
+    jdense = jax.jit(dense_solve, static_argnums=1)
+    jknot = jax.jit(knot_solve, static_argnums=1)
+
+    def native_solve(prob_k, eps):
+        data = to_batch_conic(prob_k)
+        sol = native.solve_conic(
+            np.asarray(data.P), np.asarray(data.q), np.asarray(data.A),
+            np.asarray(data.b), data.segments, eps_abs=eps, max_iter=300000)
+        X, U = admm_conic.extract_traj(data, jnp.asarray(sol.x))
+        return np.asarray(U), sol.status
+
+    out = []
+    for tol in tols:
+        opts = _opts(cost_tolerance=tol, gradient_tolerance=tol * 1e-2,
+                     constraint_tolerance=tol, penalty_initial=1e3,
+                     penalty_scaling=10.0, reset_duals=False,
+                     iterations_outer=40)
+        step, init_carry = make_mpc_step(prob_mpc, opts, cold.X, cold.U, nm)
+        jstep = jax.jit(step)
+        carry = jax.block_until_ready(jax.jit(init_carry)())
+        jax.block_until_ready(jstep(carry, noise[0]))  # compile
+
+        errs = {"altro": [], "dense_admm": [], "knot_admm": [],
+                "native_cpp": []}
+        ms = {k: [] for k in errs}
+        sts = {k: [] for k in errs}
+        for t in range(T):
+            t0 = time.perf_counter()
+            carry, res = jstep(carry, noise[t])
+            jax.block_until_ready(res.U)
+            ms["altro"].append((time.perf_counter() - t0) * 1e3)
+            sts["altro"].append(int(res.status))
+            prob_k = prob_at(int(carry[3]), res.x0)
+
+            U_truth, st_truth = native_solve(prob_k, 1e-9)
+            assert st_truth == 1, "truth solve did not converge"
+
+            errs["altro"].append(
+                float(jnp.max(jnp.abs(res.U - U_truth))))
+            for name, fn in (("dense_admm", jdense), ("knot_admm", jknot)):
+                t0 = time.perf_counter()
+                U_b, st = fn(prob_k, tol)
+                jax.block_until_ready(U_b)
+                ms[name].append((time.perf_counter() - t0) * 1e3)
+                errs[name].append(float(jnp.max(jnp.abs(U_b - U_truth))))
+                sts[name].append(int(st))
+            t0 = time.perf_counter()
+            U_n, st = native_solve(prob_k, tol)
+            ms["native_cpp"].append((time.perf_counter() - t0) * 1e3)
+            errs["native_cpp"].append(float(np.max(np.abs(U_n - U_truth))))
+            sts["native_cpp"].append(int(st))
+
+        row = dict(tol=tol)
+        for k in errs:
+            row[f"err_{k}"] = max(errs[k])
+            row[f"ms_{k}"] = float(np.mean(ms[k]))
+            row[f"success_{k}"] = float(np.mean(sts[k]))
+        out.append(row)
+        print(f"  tol={tol:g}: " + " ".join(
+            f"{k}={row[f'err_{k}']:.2e}/{row[f'ms_{k}']:.1f}ms"
+            for k in errs), flush=True)
+    return dict(rows=out, cold_iterations=int(cold.stats.iterations))
+
+
 # ---------------------------------------------------------------------------
 # Grasp horizon sweep
 # ---------------------------------------------------------------------------
@@ -452,6 +572,7 @@ BENCHMARKS = {
     "random_linear_state_dim": lambda: random_linear_sweep("state_dim"),
     "random_linear_control_dim": lambda: random_linear_sweep("control_dim"),
     "rocket": rocket_tol_sweep,
+    "rocket_multibaseline": rocket_multibaseline_tol,
     "grasp": grasp_horizon_sweep,
     "flexsat": flexsat_benchmark,
     "quadruped": quadruped_benchmark,
@@ -540,8 +661,39 @@ def _fig_quadruped(res, path):
     plt.close(fig)
 
 
+def _fig_rocket_multibaseline(res, path):
+    """Four-solver error + time vs tolerance — the reference's headline
+    contrast (figures/rocket_solver_tol.tikz: ALTRO vs ECOS/COSMO/Mosek)."""
+    plt = _mpl()
+    rows = res["rows"]
+    tols = [r["tol"] for r in rows]
+    solvers = [("altro", "tab:red", "o", "conic AL-iLQR (ALTRO)"),
+               ("dense_admm", "tab:cyan", "s", "dense conic ADMM"),
+               ("knot_admm", "tab:blue", "^", "knot ADMM (MPC-structured)"),
+               ("native_cpp", "tab:green", "d", "native C++ conic")]
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(9.5, 3.6))
+    for key, color, mk, label in solvers:
+        ax1.loglog(tols, [max(r[f"err_{key}"], 1e-12) for r in rows],
+                   mk + "-", color=color, label=label)
+        ax2.semilogx(tols, [r[f"ms_{key}"] for r in rows], mk + "-",
+                     color=color, label=label)
+    ax1.set_xlabel("solver tolerance")
+    ax1.set_ylabel("inf-norm control error vs tight oracle")
+    ax1.invert_xaxis()
+    ax1.grid(True, alpha=0.3)
+    ax1.legend(fontsize=7)
+    ax2.set_xlabel("solver tolerance")
+    ax2.set_ylabel("time per solve (ms)")
+    ax2.set_yscale("log")
+    ax2.invert_xaxis()
+    ax2.grid(True, alpha=0.3)
+    fig.savefig(path, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+
+
 FIGURES = {
     "rocket": _fig_rocket,
+    "rocket_multibaseline": _fig_rocket_multibaseline,
     "flexsat": _fig_flexsat,
     "quadruped": _fig_quadruped,
 }

@@ -79,8 +79,10 @@ def track_window(X_track, U_track, k0, N):
     dynamic_slice; callers keep k0 <= len - N as the reference does)."""
     n = X_track.shape[-1]
     m = U_track.shape[-1]
-    Xw = jax.lax.dynamic_slice(X_track, (k0, 0), (N, n))
-    Uw = jax.lax.dynamic_slice(U_track, (k0, 0), (N - 1, m))
+    k0 = jnp.asarray(k0)
+    z = jnp.zeros((), k0.dtype)
+    Xw = jax.lax.dynamic_slice(X_track, (k0, z), (N, n))
+    Uw = jax.lax.dynamic_slice(U_track, (k0, z), (N - 1, m))
     return Xw, Uw
 
 
@@ -97,7 +99,8 @@ class MPCResults:
 
 
 def make_mpc_step(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
-                  noise_model=default_noise_model, constraints_fn=None):
+                  noise_model=default_noise_model, constraints_fn=None,
+                  shared_k: bool = False):
     """Build the single warm-started MPC step as a jittable function
     ``step(carry, noise_i) -> (carry, MPCResults)``.
 
@@ -105,16 +108,20 @@ def make_mpc_step(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
     host (jit the step, loop in Python) keeps the compiled program small —
     wrapping the full loop in ``lax.scan`` is fine on CPU but makes the TPU
     toolchain's compile time blow up on scan-of-while-of-while programs.
+
+    ``shared_k=True`` returns the batched-driver variant
+    ``step(carry, noise_i, k) -> (carry, MPCResults)`` with the window index
+    ``k`` a SEPARATE argument (vmap it with ``in_axes=(0, 0, None)``) and
+    carry = (x0, U, duals). Every scenario of a batched MPC run sits at the
+    same step index, so the tracking-window slice, the cost retarget, and
+    the ``constraints_fn`` window are computed once per step instead of
+    per lane — and stay unbatched through the solve (shared constraint /
+    cost data in the expansion and line-search cost evaluations).
     """
     N = prob_mpc.N
     dyn = prob_mpc.dynamics
 
-    def step(carry, noise_i):
-        x0, U, duals, k = carry
-        x_prop = dyn.step(x0, U[0], 0)
-        x0_new = noise_model(x_prop, noise_i)
-        k_new = k + 1
-
+    def _solve_at(k_new, x0_new, U, duals):
         Xw, Uw = track_window(X_track, U_track, k_new, N)
         cost_new = retarget_tracking(prob_mpc.cost, Xw, Uw)
         prob_k = prob_mpc.replace(cost=cost_new, x0=x0_new)
@@ -125,18 +132,36 @@ def make_mpc_step(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
 
         U_ws = shift_fill(U)
         duals_ws = tuple(d.shift() for d in duals)
-        sol = solve(prob_k, opts, U0=U_ws, duals=duals_ws)
+        return solve(prob_k, opts, U0=U_ws, duals=duals_ws)
 
+    def step(carry, noise_i):
+        x0, U, duals, k = carry
+        x_prop = dyn.step(x0, U[0], 0)
+        x0_new = noise_model(x_prop, noise_i)
+        k_new = k + 1
+        sol = _solve_at(k_new, x0_new, U, duals)
         out = MPCResults(X=sol.X, U=sol.U, iters=sol.stats.iterations,
                          status=sol.stats.status, viol=sol.stats.viol,
                          x0=x0_new)
         return (x0_new, sol.U, sol.duals, k_new), out
 
+    def step_shared(carry, noise_i, k):
+        x0, U, duals = carry
+        x_prop = dyn.step(x0, U[0], 0)
+        x0_new = noise_model(x_prop, noise_i)
+        sol = _solve_at(k + 1, x0_new, U, duals)
+        out = MPCResults(X=sol.X, U=sol.U, iters=sol.stats.iterations,
+                         status=sol.stats.status, viol=sol.stats.viol,
+                         x0=x0_new)
+        return (x0_new, sol.U, sol.duals), out
+
     def init_carry(start_k: int = 0):
         sol0 = solve(prob_mpc, opts)
+        if shared_k:
+            return (prob_mpc.x0, sol0.U, sol0.duals)
         return (prob_mpc.x0, sol0.U, sol0.duals, jnp.asarray(start_k))
 
-    return step, init_carry
+    return (step_shared if shared_k else step), init_carry
 
 
 def run_mpc(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,

