@@ -49,6 +49,10 @@ def _flagship(dtype):
 
 
 TOLS = (1e-4, 1e-6)
+# the flagship bench default (bench.py): skip the redundant dJ-confirmation
+# iteration after an exact full Newton step. The agreement artifact measures
+# the SAME config the throughput number ships with.
+EARLY_TOL = float(os.environ.get("AGREEMENT_EARLY_TOL", "1e-3"))
 
 
 def phase1_tpu(out_npz: str, B: int = 1024):
@@ -69,7 +73,7 @@ def phase1_tpu(out_npz: str, B: int = 1024):
             cost_tolerance=tol, gradient_tolerance=tol,
             constraint_tolerance=max(tol, 1e-5), penalty_initial=1e3,
             penalty_scaling=100.0, reset_duals=False,
-            iterations_linesearch=4)
+            iterations_linesearch=4, early_exact_tol=EARLY_TOL)
         step, init_carry = make_mpc_step(prob_mpc, opts, X_track, U_track)
         vstep = jax.jit(jax.vmap(step, in_axes=(0, 0)))
         carry = jax.block_until_ready(
@@ -143,7 +147,8 @@ def phase2_cpu(in_npz: str, out_json: str):
     res = dict(
         config=dict(n=N_DIM, m=M_DIM, N_mpc=N_MPC, seed=SEED,
                     sample=int(data[f"x0_{TOLS[0]:g}"].shape[0]), step=k,
-                    f64_tol=1e-8, native_tol=1e-8),
+                    f64_tol=1e-8, native_tol=1e-8,
+                    early_exact_tol=EARLY_TOL),
         per_tpu_tolerance=per_tol,
         max_dU_cpu_f64_vs_native_cpp=(
             float(np.max(d_f64_nat)) if d_f64_nat else None),

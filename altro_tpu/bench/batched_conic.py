@@ -114,7 +114,7 @@ def rocket_batched(B: int = 1024, T: int = 30, N_mpc: int = 21,
         cost_tolerance=1e-4, gradient_tolerance=1e-6,
         constraint_tolerance=1e-4, penalty_initial=1e4,
         penalty_scaling=10.0, reset_duals=False, reset_penalties=False,
-        iterations_outer=10)
+        iterations_outer=10, early_exact_tol=1e-3)
     okw.update(opts_override or {})
     opts = at.SolverOptions(**okw)
 
@@ -157,7 +157,8 @@ def grasp_batched(B: int = 1024, T: int = 15, N_mpc: int = 21):
         constraints=grasp.grasp_constraints(o, N_mpc, 0, dtype=dtype))
     opts = at.SolverOptions(
         cost_tolerance=1e-4, constraint_tolerance=1e-4,
-        penalty_initial=1e4, penalty_scaling=100.0, reset_duals=False)
+        penalty_initial=1e4, penalty_scaling=100.0, reset_duals=False,
+        early_exact_tol=1e-3)
 
     rng = np.random.default_rng(0)
     noise = jnp.asarray(rng.standard_normal((T, B, 6)), dtype)

@@ -30,7 +30,10 @@ def main():
     from altro_tpu.mpc import run_mpc
 
     B = int(os.environ.get("BENCH_BATCH", 1024))
-    T = int(os.environ.get("BENCH_STEPS", 30))
+    # 100 steps: with the exact-step early stop a warm step is ~3 ms, so a
+    # 30-step pipelined wall is ~0.1 s and dispatch jitter swings the
+    # throughput number by 2x run-to-run; 100 steps amortizes it
+    T = int(os.environ.get("BENCH_STEPS", 100))
     N_mpc = 30
     n, m = 12, 6
     dtype = jnp.float32
@@ -50,7 +53,11 @@ def main():
         constraint_tolerance=1e-4, penalty_initial=1e3,
         penalty_scaling=100.0, reset_duals=False,
         iterations_linesearch=int(os.environ.get("BENCH_LS", 4)),
-        early_exact_tol=float(os.environ.get("BENCH_EARLY_TOL", "0")))
+        # exact-step early stop: a warm QP re-solve's full Newton step lands
+        # exactly on the quadratic model, so the dJ-confirmation iteration
+        # is redundant (mean iters 2.11 -> 1.09, 198k -> 384k solves/s;
+        # f32-vs-f64 controls agreement at 1.0e-5, results_tpu/agreement.json)
+        early_exact_tol=float(os.environ.get("BENCH_EARLY_TOL", "1e-3")))
 
     noise = jnp.asarray(rng.standard_normal((T, B, n)), dtype)
 
@@ -77,17 +84,23 @@ def main():
     carry, out = vstep(carry0, noise[0], 0)  # compile
     jax.block_until_ready(carry)
 
-    # throughput pass: async dispatch, fence once (pipelining hides RTT)
-    carry = carry0
-    statuses, viols, iters = [], [], []
-    t0 = time.perf_counter()
-    for t in range(T):
-        carry, out = vstep(carry, noise[t], t)
-        statuses.append(out.status)
-        viols.append(out.viol)
-        iters.append(out.iters)
-    jax.block_until_ready(carry)
-    dt = time.perf_counter() - t0
+    # throughput pass: async dispatch, fence once (pipelining hides RTT).
+    # Median of 3 passes: a single host/tunnel hiccup (~100 ms) swings one
+    # ~0.3 s pass by 30%+; the median is the benchmark_solve!-style estimate.
+    passes = int(os.environ.get("BENCH_PASSES", 3))
+    walls = []
+    for p in range(passes):
+        carry = carry0
+        statuses, viols, iters = [], [], []
+        t0 = time.perf_counter()
+        for t in range(T):
+            carry, out = vstep(carry, noise[t], t)
+            statuses.append(out.status)
+            viols.append(out.viol)
+            iters.append(out.iters)
+        jax.block_until_ready(carry)
+        walls.append(time.perf_counter() - t0)
+    dt = float(np.median(walls))
 
     # latency pass: per-step fenced (includes host/tunnel round trip)
     step_ms = []
