@@ -29,12 +29,18 @@ import jax
 import jax.numpy as jnp
 
 
-def _throughput(step, init_carry, noise, label):
+def _throughput(step, init_carry, noise, label, batch_step=None):
     """bench.py methodology: compile, pipelined throughput pass, fenced
-    latency pass."""
+    latency pass. Pass ``batch_step`` (a whole-batch step function, e.g.
+    from mpc.make_mpc_step_device_compacted) to run it INSTEAD of the
+    vmapped per-lane ``step`` — the throughput/latency passes then measure
+    the device-side straggler-compacted program."""
     B = noise.shape[1]
     T = noise.shape[0]
-    vstep = jax.jit(jax.vmap(step, in_axes=(0, 0, None)))
+    if batch_step is not None:
+        vstep = jax.jit(batch_step)
+    else:
+        vstep = jax.jit(jax.vmap(step, in_axes=(0, 0, None)))
     ks = [jnp.asarray(t, jnp.int32) for t in range(T)]
     carry0 = jax.block_until_ready(
         jax.jit(jax.vmap(lambda _: init_carry()))(jnp.arange(B)))
@@ -70,6 +76,17 @@ def _throughput(step, init_carry, noise, label):
         success_rate=float(jnp.mean(jnp.stack(statuses).astype(jnp.float32))),
         max_viol=float(jnp.max(jnp.stack(viols))),
         mean_iters=float(jnp.mean(jnp.stack(iters).astype(jnp.float32))),
+        # the batched while-loop runs to the SLOWEST lane: the per-step
+        # lane-max (and its mean over steps) is the number wall time
+        # actually follows, not the lane mean
+        iters_max=int(jnp.max(jnp.stack(iters))),
+        iters_max_per_step_mean=float(jnp.mean(jnp.stack(
+            [jnp.max(i) for i in iters]).astype(jnp.float32))),
+        iters_p50=float(np.percentile(np.asarray(jnp.stack(iters)), 50)),
+        iters_p90=float(np.percentile(np.asarray(jnp.stack(iters)), 90)),
+        iters_p95=float(np.percentile(np.asarray(jnp.stack(iters)), 95)),
+        iters_p99=float(np.percentile(
+            np.asarray(jnp.stack(iters)), 99)),
         wall_s=round(dt, 4),
         compile_s=round(compile_s, 1),
         step_ms_p50=float(np.percentile(step_ms, 50)),
@@ -77,13 +94,16 @@ def _throughput(step, init_carry, noise, label):
     )
     print(f"  {label}: {res['solves_per_s']:.0f} solves/s "
           f"(B={B}, success {res['success_rate']:.4f}, "
-          f"max_viol {res['max_viol']:.2e}, iters {res['mean_iters']:.2f})",
+          f"max_viol {res['max_viol']:.2e}, iters {res['mean_iters']:.2f} "
+          f"mean / {res['iters_max_per_step_mean']:.1f} lane-max "
+          f"/ {res['iters_max']} max)",
           flush=True)
     return res
 
 
 def rocket_batched(B: int = 1024, T: int = 30, N_mpc: int = 21,
-                   opts_override: dict = None):
+                   opts_override: dict = None, compact_cap: int = 0,
+                   compact_block: int = 128):
     """Rocket soft-landing SOC MPC (max-thrust + thrust-angle + glideslope
     cones; reference MPC config run_simple_rocket.jl:118-132), batched over
     scenarios differing in process noise (wp=1e-3, wv=1e-2)."""
@@ -123,12 +143,23 @@ def rocket_batched(B: int = 1024, T: int = 30, N_mpc: int = 21,
     step, init_carry = make_mpc_step(
         prob_mpc, opts, cold.X, cold.U,
         noise_model=rocket.rocket_noise_model(), shared_k=True)
-    res = _throughput(step, init_carry, noise, "rocket_soc_mpc_N21")
+    batch_step = None
+    if compact_cap:
+        from altro_tpu.mpc import make_mpc_step_device_compacted
+        batch_step, init_carry = make_mpc_step_device_compacted(
+            prob_mpc, opts, cold.X, cold.U,
+            noise_model=rocket.rocket_noise_model(), it_cap=compact_cap,
+            block=compact_block)
+    res = _throughput(step, init_carry, noise, "rocket_soc_mpc_N21",
+                      batch_step=batch_step)
     res["cold_status"] = int(cold.stats.status)
+    if compact_cap:
+        res["compact_it_cap"] = compact_cap
     return res
 
 
-def grasp_batched(B: int = 1024, T: int = 15, N_mpc: int = 21):
+def grasp_batched(B: int = 1024, T: int = 15, N_mpc: int = 21,
+                  compact_cap: int = 0, compact_block: int = 128):
     """Grasp time-varying-SOC MPC (rotating contact frames: torque-balance
     equality + max-force + 2 friction cones per knot, refreshed per step
     without re-jit; grasp_benchmark.jl config), batched over noise."""
@@ -165,7 +196,17 @@ def grasp_batched(B: int = 1024, T: int = 15, N_mpc: int = 21):
     fn = lambda k: grasp.grasp_constraints(o, N_mpc, k, dtype=dtype)
     step, init_carry = make_mpc_step(prob_mpc, opts, cold.X, cold.U,
                                      constraints_fn=fn, shared_k=True)
-    return _throughput(step, init_carry, noise, "grasp_tv_soc_mpc_N21")
+    batch_step = None
+    if compact_cap:
+        from altro_tpu.mpc import make_mpc_step_device_compacted
+        batch_step, init_carry = make_mpc_step_device_compacted(
+            prob_mpc, opts, cold.X, cold.U, constraints_fn=fn,
+            it_cap=compact_cap, block=compact_block)
+    res = _throughput(step, init_carry, noise, "grasp_tv_soc_mpc_N21",
+                      batch_step=batch_step)
+    if compact_cap:
+        res["compact_it_cap"] = compact_cap
+    return res
 
 
 def main():
@@ -175,17 +216,32 @@ def main():
                    default=int(os.environ.get("BENCH_BATCH", 1024)))
     p.add_argument("--which", default="all",
                    choices=["all", "rocket", "grasp"])
+    # default ON: measured sweet spot on TPU v5e B=1024 — rocket
+    # 10.6k -> 22.6k, grasp 12.2k -> 23.3k solves/s at cap=24/block=256
+    # (identical per-lane results; caps 16/32/40 and the host-sync variant
+    # all measured worse). 0 restores the plain vmapped step.
+    p.add_argument("--compact-cap", type=int,
+                   default=int(os.environ.get("BENCH_COMPACT_CAP", 24)),
+                   help="it_cap for device-side straggler compaction "
+                        "(0 = plain vmapped step)")
+    p.add_argument("--compact-block", type=int,
+                   default=int(os.environ.get("BENCH_COMPACT_BLOCK", 256)),
+                   help="compaction block size (multiple of 128)")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
     meta = dict(device=str(jax.devices()[0]), dtype="float32")
     if args.which in ("all", "rocket"):
         print("== rocket_batched", flush=True)
-        res = dict(rocket_batched(B=args.batch), **meta)
+        res = dict(rocket_batched(B=args.batch,
+                                  compact_cap=args.compact_cap,
+                                  compact_block=args.compact_block), **meta)
         with open(os.path.join(args.out, "rocket_batched.json"), "w") as f:
             json.dump(res, f, indent=1)
     if args.which in ("all", "grasp"):
         print("== grasp_batched", flush=True)
-        res = dict(grasp_batched(B=args.batch), **meta)
+        res = dict(grasp_batched(B=args.batch,
+                                 compact_cap=args.compact_cap,
+                                 compact_block=args.compact_block), **meta)
         with open(os.path.join(args.out, "grasp_batched.json"), "w") as f:
             json.dump(res, f, indent=1)
 

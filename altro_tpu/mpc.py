@@ -164,6 +164,153 @@ def make_mpc_step(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
     return (step_shared if shared_k else step), init_carry
 
 
+def make_mpc_step_compacted(prob_mpc: Problem, opts: SolverOptions,
+                            X_track, U_track,
+                            noise_model=default_noise_model,
+                            constraints_fn=None, it_cap: int = 24):
+    """Batched-driver MPC step with STRAGGLER COMPACTION.
+
+    A vmapped batch's solve runs until its slowest lane converges, so wall
+    time follows the lane-MAX iteration count — 3-4x the lane mean on the
+    conic configs. This variant splits the step in three jittable pieces
+    so the host can compact the tail:
+
+      ``partial(carry, noise_i, k) -> (state, x0_new)``
+          propagate + shift + run the solve for at most ``it_cap``
+          iterations (vmap with ``in_axes=(0, 0, None)``);
+      ``resume(state_block, k) -> state_block``
+          continue a GATHERED block of unconverged lanes to completion
+          (vmap over the block; resuming converged lanes is a no-op);
+      ``extract(state, x0_new) -> (carry, MPCResults)``
+          build the next warm-start carry + per-step records.
+
+    Per-lane iterate sequences are identical to the plain step (every lane
+    freezes on its own convergence), so results match
+    ``make_mpc_step(shared_k=True)`` exactly; only the batch scheduling
+    changes. Use :func:`run_compacted_step` for the host orchestration.
+    """
+    from .solver import altro as _alt
+
+    N = prob_mpc.N
+    dyn = prob_mpc.dynamics
+
+    def _prob_at(k_new, x0_new):
+        Xw, Uw = track_window(X_track, U_track, k_new, N)
+        prob_k = prob_mpc.replace(
+            cost=retarget_tracking(prob_mpc.cost, Xw, Uw), x0=x0_new)
+        if constraints_fn is not None:
+            prob_k = prob_k.replace(constraints=constraints_fn(k_new))
+        return prob_k
+
+    def partial(carry, noise_i, k):
+        x0, U, duals = carry
+        x_prop = dyn.step(x0, U[0], 0)
+        x0_new = noise_model(x_prop, noise_i)
+        prob_k = _prob_at(k + 1, x0_new)
+        U_ws = shift_fill(U)
+        duals_ws = tuple(d.shift() for d in duals)
+        state = _alt.solve_partial(prob_k, opts, U_ws, duals_ws,
+                                   it_cap=it_cap)
+        return state, x0_new
+
+    def resume(state, k):
+        # prob.x0 is not read on resume (the state carries the trajectory)
+        prob_k = _prob_at(k + 1, prob_mpc.x0)
+        with jax.default_matmul_precision("highest"):
+            return _alt._flat_while(prob_k, opts, state, None)
+
+    def extract(state, x0_new, k):
+        prob_k = _prob_at(k + 1, prob_mpc.x0)
+        sol = _alt._finalize(prob_k, state)
+        out = MPCResults(X=sol.X, U=sol.U, iters=sol.stats.iterations,
+                         status=sol.stats.status, viol=sol.stats.viol,
+                         x0=x0_new)
+        return (x0_new, sol.U, sol.duals), out
+
+    def init_carry(start_k: int = 0):
+        sol0 = solve(prob_mpc, opts)
+        return (prob_mpc.x0, sol0.U, sol0.duals)
+
+    return partial, resume, extract, init_carry
+
+
+def make_mpc_step_device_compacted(prob_mpc: Problem, opts: SolverOptions,
+                                   X_track, U_track,
+                                   noise_model=default_noise_model,
+                                   constraints_fn=None, it_cap: int = 24,
+                                   block: int = 128):
+    """Batch-level MPC step with DEVICE-SIDE straggler compaction — one
+    jitted program per step, so pipelined dispatch (and the tunnel RTT it
+    hides) is preserved, unlike the host-orchestrated
+    :func:`run_compacted_step`.
+
+    The program: run every lane's solve to ``it_cap`` iterations, gather
+    the ``block`` unconverged-first lanes (stable argsort of the done
+    flags), resume just those to completion at 1/8th the per-iteration
+    cost, scatter back, then run a full-batch catch-all resume — a no-op
+    (one loop-condition evaluation) unless more than ``block`` lanes were
+    still unconverged at the cap, so results are ALWAYS identical to the
+    plain step; only the scheduling changes.
+
+    Returns ``(step_batch, init_carry)`` where
+    ``step_batch(carry_B, noise_B, k) -> (carry_B, MPCResults_B)`` operates
+    on whole-batch pytrees (do NOT vmap it; jit it directly) and
+    ``init_carry()`` builds one lane's carry (vmap it over the batch).
+    Rocket SOC tail at B=1024: mean 15.4 iterations/solve but the per-step
+    lane max averages 100.8 — wall time follows the max, so capping the
+    full-batch phase at ~p90 and finishing ~10 stragglers in a 128-lane
+    block cuts most of the straggler tax."""
+    partial, resume, extract, init_carry = make_mpc_step_compacted(
+        prob_mpc, opts, X_track, U_track, noise_model, constraints_fn,
+        it_cap=it_cap)
+
+    def step_batch(carry, noise_i, k):
+        states, x0n = jax.vmap(partial, (0, 0, None))(carry, noise_i, k)
+        done = states[10]
+        take = jnp.argsort(done.astype(jnp.int32), stable=True)[:block]
+        sub = jax.tree_util.tree_map(lambda a: a[take], states)
+        sub = jax.vmap(resume, (0, None))(sub, k)
+        states = jax.tree_util.tree_map(
+            lambda a, b: a.at[take].set(b), states, sub)
+        # catch-all for >block stragglers: exact, and free when none
+        states = jax.vmap(resume, (0, None))(states, k)
+        return jax.vmap(extract, (0, 0, None))(states, x0n, k)
+
+    return step_batch, init_carry
+
+
+def run_compacted_step(jpartial, jresume, jextract, carry, noise_t, k,
+                       block: int = 128):
+    """One compacted MPC step, host-orchestrated.
+
+    ``jpartial``/``jresume``/``jextract`` are the jitted vmapped pieces from
+    :func:`make_mpc_step_compacted`:
+
+        jpartial = jax.jit(jax.vmap(partial, in_axes=(0, 0, None)))
+        jresume  = jax.jit(jax.vmap(resume, in_axes=(0, None)))
+        jextract = jax.jit(jax.vmap(extract, in_axes=(0, 0, None)))
+
+    After the capped full-batch pass, unconverged lane indices are gathered
+    into ``block``-sized sub-batches (padded by cycling, which is safe:
+    resuming a lane twice scatters the identical converged state) and
+    resumed to completion. ``block`` must keep the Pallas lane-packing
+    alignment (multiples of 128).
+    """
+    import numpy as np
+
+    state, x0n = jpartial(carry, noise_t, k)
+    done = np.asarray(state[10])
+    idx = np.nonzero(~done)[0]
+    while idx.size:
+        take = np.resize(idx[:block], block)
+        sub = jax.tree_util.tree_map(lambda a: a[take], state)
+        sub = jresume(sub, k)
+        state = jax.tree_util.tree_map(
+            lambda a, b: a.at[jnp.asarray(take)].set(b), state, sub)
+        idx = idx[block:]
+    return jextract(state, x0n, k)
+
+
 def run_mpc(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
             noise, start_k: int = 0, noise_model=default_noise_model,
             constraints_fn=None) -> MPCResults:

@@ -461,9 +461,46 @@ def solve(prob: Problem, opts: SolverOptions,
         return _solve(prob, opts, U0, duals)
 
 
+def solve_partial(prob: Problem, opts: SolverOptions,
+                  U0: Optional[jnp.ndarray] = None,
+                  duals: Optional[Tuple[DualState, ...]] = None,
+                  *, it_cap: int):
+    """Run the solver for at most ``it_cap`` iLQR iterations and return the
+    raw loop state (an opaque tuple; pass to :func:`solve_resume`).
+
+    The split exists for batched straggler compaction: a vmapped batch's
+    while-loop runs until its SLOWEST lane converges, so wall time follows
+    the lane-max iteration count (3-4x the mean on the conic configs). The
+    host can run the full batch to ``it_cap``, gather the few unconverged
+    lanes into a small compacted batch, and :func:`solve_resume` just those
+    — per-lane iterate sequences are unchanged (every lane freezes on its
+    own convergence), so the results are identical to a single uncapped
+    solve."""
+    with jax.default_matmul_precision("highest"):
+        s0 = _warmstart_state(prob, opts, U0, duals)
+        return _flat_while(prob, opts, s0, it_cap)
+
+
+def solve_resume(prob: Problem, opts: SolverOptions, state) -> Solution:
+    """Continue a :func:`solve_partial` state to completion. Resuming an
+    already-converged state is a no-op (the loop condition is false), so
+    compacted batches may be padded with converged lanes. ``prob.x0`` is
+    not read (the state carries the trajectory)."""
+    with jax.default_matmul_precision("highest"):
+        return _finalize(prob, _flat_while(prob, opts, state, None))
+
+
 def _solve(prob: Problem, opts: SolverOptions,
            U0: Optional[jnp.ndarray],
            duals: Optional[Tuple[DualState, ...]]) -> Solution:
+    s0 = _warmstart_state(prob, opts, U0, duals)
+    return _finalize(prob, _flat_while(prob, opts, s0, None))
+
+
+def _warmstart_state(prob: Problem, opts: SolverOptions,
+                     U0: Optional[jnp.ndarray],
+                     duals: Optional[Tuple[DualState, ...]]):
+    """Initial flat-loop state: warm-start rollout + dual init."""
     dtype = prob.x0.dtype
     N, n, m = prob.N, prob.n, prob.m
     if U0 is None:
@@ -493,8 +530,19 @@ def _solve(prob: Problem, opts: SolverOptions,
                 d.replace(rho=jnp.full_like(d.rho, opts.penalty_initial))
                 for d in duals)
 
-    zero = jnp.zeros((), dtype)
     K0 = jnp.zeros((N - 1, m, n), dtype)
+    return (X0, U0, K0, duals, jnp.asarray(opts.reg_initial, dtype),
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+
+
+def _flat_while(prob: Problem, opts: SolverOptions, s0,
+                it_cap: Optional[int]):
+    """The flat AL + iLQR ``lax.while_loop`` from state ``s0``; stops early
+    at ``it_cap`` total iLQR iterations when given (straggler compaction —
+    see :func:`solve_partial`)."""
+    dtype = s0[0].dtype
 
     # ---------------- flat AL + iLQR loop ----------------
     # One while_loop instead of outer-AL-around-inner-iLQR. Each iteration is
@@ -550,10 +598,13 @@ def _solve(prob: Problem, opts: SolverOptions,
             for lam, dual in zip(lams, duals))
         return viol_r, converged, new_duals
 
-    def flat_solve(X0, U0, duals0):
+    def flat_solve(s0):
         def cond(s):
             X, U, K, duals, reg, grad, viol, it_rd, it, rounds, done = s
-            return (~done) & (rounds < opts.iterations_outer)
+            live = (~done) & (rounds < opts.iterations_outer)
+            if it_cap is not None:
+                live = live & (it < it_cap)
+            return live
 
         def body(s):
             X, U, K, duals, reg, grad, viol, it_rd, it, rounds, done = s
@@ -692,20 +743,19 @@ def _solve(prob: Problem, opts: SolverOptions,
             active = (~done) & (rounds < opts.iterations_outer)
             return _where_tree(active, out, keep)
 
-        s0 = (X0, U0, K0, duals0, jnp.asarray(opts.reg_initial, dtype),
-              jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
-              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-              jnp.zeros((), jnp.int32), jnp.zeros((), bool))
         return jax.lax.while_loop(cond, body, s0)
 
-    X, U, K, duals, reg, grad, viol, it_rd, it, rounds, done = \
-        flat_solve(X0, U0, duals)
+    return flat_solve(s0)
+
+
+def _finalize(prob: Problem, s) -> Solution:
+    X, U, K, duals, reg, grad, viol, it_rd, it, rounds, done = s
 
     if len(prob.constraints) == 0:
         # unconstrained: round_end_update reports zero violation, so the
         # first inner convergence (or inner cap) ends the solve; status is
         # unconditional success (parity with the nested unconstrained path)
-        viol = zero
+        viol = jnp.zeros((), X.dtype)
 
     stats = Stats(
         iterations=it,
