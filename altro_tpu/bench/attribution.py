@@ -108,7 +108,7 @@ def run(B=1024, T=5):
     for t in range(T - 1):
         carry, out = vstep(carry, noise[t], t)
     jax.block_until_ready(carry)
-    x0s, Us, duals = carry
+    x0s, _Xs, Us, duals = carry
     k = jnp.full((B,), T - 1)
     Xs = jax.jit(jax.vmap(pm.dynamics.rollout))(x0s, Us)
     reg = jnp.zeros((B,), dtype)
@@ -257,7 +257,7 @@ def run_overhead(B=1024, T=5):
     for t in range(T - 1):
         carry, out = vstep(carry, noise[t], t)
     jax.block_until_ready(carry)
-    x0s, Us, duals = carry
+    x0s, _Xs, Us, duals = carry
     k = jnp.full((B,), T - 1)
     Xs = jax.jit(jax.vmap(pm.dynamics.rollout))(x0s, Us)
 
@@ -403,7 +403,7 @@ def run_slope_solver(B=1024):
     step, init_carry = make_mpc_step(pm, opts_w, X_track, U_track)
     carry = jax.block_until_ready(
         jax.jit(jax.vmap(lambda _: init_carry()))(jnp.arange(B)))
-    x0s, Us, duals, _ = carry
+    x0s, _Xs, Us, duals, _ = carry
 
     out = {}
     for iters in (1, 2, 3, 4):

@@ -47,7 +47,7 @@ def measure(batch_per_device: int = 64, steps: int = 10, n: int = 12,
 
         x0s = jnp.tile(prob_mpc.x0, (B, 1))
         sol0 = jax.vmap(lambda x0: at.solve(prob_mpc.replace(x0=x0), opts))(x0s)
-        state = (x0s, sol0.U, sol0.duals, jnp.asarray(0))
+        state = (x0s, sol0.X, sol0.U, sol0.duals, jnp.asarray(0))
         jstep = jax.jit(step)
         noise = jnp.asarray(rng.standard_normal((steps, B, n)), dtype)
 

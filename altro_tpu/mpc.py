@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -98,6 +100,53 @@ class MPCResults:
     x0: jnp.ndarray          # [T, n] noisy initial states
 
 
+def _xws_corrector(dyn):
+    """Build-time exact warm-start state corrector for LTI dynamics.
+
+    The previous solve's states, shifted one knot, ARE the warm-start init
+    rollout except for the x0 seam: with knot-constant stacks (A, B, d) the
+    true rollout of the shifted controls from the new x0 satisfies
+    ``x_k = X_shift[k] + A^k e0`` with ``e0 = x0_new - X_shift[0]`` (the
+    process noise of one step), because the B/d terms cancel knot-by-knot.
+    So the exact init rollout is the shifted trajectory plus one einsum
+    against the build-time constants ``Phi_k = A^k`` — no per-step rollout
+    dispatch (~25-40% of a warm 1-iteration solve at B=1024 on v5e).
+
+    The tail knot uses a one-step extension of the old trajectory under the
+    repeated last control (matching ``shift_fill``) so the recursion holds
+    through k = N-1. Returns ``None`` (caller falls back to the solver's
+    internal init rollout) for nonlinear dynamics, genuinely time-varying
+    stacks, or tracer-stage construction.
+    """
+    if not isinstance(dyn, LTVDynamics):
+        return None
+    try:
+        A = np.asarray(dyn.A)
+        Bm = np.asarray(dyn.B)
+        d = np.asarray(dyn.d)
+    except Exception:
+        return None  # traced construction: no concrete stacks to inspect
+    if not (np.allclose(A, A[:1]) and np.allclose(Bm, Bm[:1])
+            and np.allclose(d, d[:1])):
+        return None
+    N, n = A.shape[0] + 1, A.shape[-1]
+    Phis = np.empty((N, n, n), np.float64)
+    Phis[0] = np.eye(n)
+    for k in range(1, N):
+        Phis[k] = A[0].astype(np.float64) @ Phis[k - 1]
+    Phis = jnp.asarray(Phis, dyn.A.dtype)
+    A_l, B_l, d_l = dyn.A[-1], dyn.B[-1], dyn.d[-1]
+
+    def correct(X, U_ws, x0_new):
+        with jax.default_matmul_precision("highest"):
+            x_ext = A_l @ X[-1] + B_l @ U_ws[-1] + d_l
+            Xs = jnp.concatenate([X[1:], x_ext[None]], axis=0)
+            e0 = x0_new - Xs[0]
+            return Xs + jnp.einsum("kij,j->ki", Phis, e0)
+
+    return correct
+
+
 def make_mpc_step(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
                   noise_model=default_noise_model, constraints_fn=None,
                   shared_k: bool = False):
@@ -112,16 +161,23 @@ def make_mpc_step(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
     ``shared_k=True`` returns the batched-driver variant
     ``step(carry, noise_i, k) -> (carry, MPCResults)`` with the window index
     ``k`` a SEPARATE argument (vmap it with ``in_axes=(0, 0, None)``) and
-    carry = (x0, U, duals). Every scenario of a batched MPC run sits at the
-    same step index, so the tracking-window slice, the cost retarget, and
-    the ``constraints_fn`` window are computed once per step instead of
+    carry = (x0, X, U, duals). Every scenario of a batched MPC run sits at
+    the same step index, so the tracking-window slice, the cost retarget,
+    and the ``constraints_fn`` window are computed once per step instead of
     per lane — and stay unbatched through the solve (shared constraint /
     cost data in the expansion and line-search cost evaluations).
+
+    The carry holds the previous solution's STATES as well as its controls:
+    for LTI windows the solver is seeded with the shifted states plus the
+    exact seam correction (:func:`_xws_corrector`), which skips the
+    open-loop init rollout inside :func:`altro_tpu.solve` while linearizing
+    iteration 1 at exactly the trajectory that rollout would produce.
     """
     N = prob_mpc.N
     dyn = prob_mpc.dynamics
+    xws = _xws_corrector(dyn)
 
-    def _solve_at(k_new, x0_new, U, duals):
+    def _solve_at(k_new, x0_new, X, U, duals):
         Xw, Uw = track_window(X_track, U_track, k_new, N)
         cost_new = retarget_tracking(prob_mpc.cost, Xw, Uw)
         prob_k = prob_mpc.replace(cost=cost_new, x0=x0_new)
@@ -132,34 +188,36 @@ def make_mpc_step(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
 
         U_ws = shift_fill(U)
         duals_ws = tuple(d.shift() for d in duals)
-        return solve(prob_k, opts, U0=U_ws, duals=duals_ws)
+        X_ws = None if xws is None else xws(X, U_ws, x0_new)
+        return solve(prob_k, opts, U0=U_ws, duals=duals_ws, X0=X_ws)
 
     def step(carry, noise_i):
-        x0, U, duals, k = carry
+        x0, X, U, duals, k = carry
         x_prop = dyn.step(x0, U[0], 0)
         x0_new = noise_model(x_prop, noise_i)
         k_new = k + 1
-        sol = _solve_at(k_new, x0_new, U, duals)
+        sol = _solve_at(k_new, x0_new, X, U, duals)
         out = MPCResults(X=sol.X, U=sol.U, iters=sol.stats.iterations,
                          status=sol.stats.status, viol=sol.stats.viol,
                          x0=x0_new)
-        return (x0_new, sol.U, sol.duals, k_new), out
+        return (x0_new, sol.X, sol.U, sol.duals, k_new), out
 
     def step_shared(carry, noise_i, k):
-        x0, U, duals = carry
+        x0, X, U, duals = carry
         x_prop = dyn.step(x0, U[0], 0)
         x0_new = noise_model(x_prop, noise_i)
-        sol = _solve_at(k + 1, x0_new, U, duals)
+        sol = _solve_at(k + 1, x0_new, X, U, duals)
         out = MPCResults(X=sol.X, U=sol.U, iters=sol.stats.iterations,
                          status=sol.stats.status, viol=sol.stats.viol,
                          x0=x0_new)
-        return (x0_new, sol.U, sol.duals), out
+        return (x0_new, sol.X, sol.U, sol.duals), out
 
     def init_carry(start_k: int = 0):
         sol0 = solve(prob_mpc, opts)
         if shared_k:
-            return (prob_mpc.x0, sol0.U, sol0.duals)
-        return (prob_mpc.x0, sol0.U, sol0.duals, jnp.asarray(start_k))
+            return (prob_mpc.x0, sol0.X, sol0.U, sol0.duals)
+        return (prob_mpc.x0, sol0.X, sol0.U, sol0.duals,
+                jnp.asarray(start_k))
 
     return (step_shared if shared_k else step), init_carry
 
@@ -193,6 +251,7 @@ def make_mpc_step_compacted(prob_mpc: Problem, opts: SolverOptions,
 
     N = prob_mpc.N
     dyn = prob_mpc.dynamics
+    xws = _xws_corrector(dyn)
 
     def _prob_at(k_new, x0_new):
         Xw, Uw = track_window(X_track, U_track, k_new, N)
@@ -203,13 +262,14 @@ def make_mpc_step_compacted(prob_mpc: Problem, opts: SolverOptions,
         return prob_k
 
     def partial(carry, noise_i, k):
-        x0, U, duals = carry
+        x0, X, U, duals = carry
         x_prop = dyn.step(x0, U[0], 0)
         x0_new = noise_model(x_prop, noise_i)
         prob_k = _prob_at(k + 1, x0_new)
         U_ws = shift_fill(U)
         duals_ws = tuple(d.shift() for d in duals)
-        state = _alt.solve_partial(prob_k, opts, U_ws, duals_ws,
+        X_ws = None if xws is None else xws(X, U_ws, x0_new)
+        state = _alt.solve_partial(prob_k, opts, U_ws, duals_ws, X_ws,
                                    it_cap=it_cap)
         return state, x0_new
 
@@ -225,11 +285,11 @@ def make_mpc_step_compacted(prob_mpc: Problem, opts: SolverOptions,
         out = MPCResults(X=sol.X, U=sol.U, iters=sol.stats.iterations,
                          status=sol.stats.status, viol=sol.stats.viol,
                          x0=x0_new)
-        return (x0_new, sol.U, sol.duals), out
+        return (x0_new, sol.X, sol.U, sol.duals), out
 
     def init_carry(start_k: int = 0):
         sol0 = solve(prob_mpc, opts)
-        return (prob_mpc.x0, sol0.U, sol0.duals)
+        return (prob_mpc.x0, sol0.X, sol0.U, sol0.duals)
 
     return partial, resume, extract, init_carry
 

@@ -78,44 +78,52 @@ def sharded_mpc_step(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
     aggregate health metrics across devices.
 
     Returns a function step(state, noise) -> (state, metrics) where state is
-    (x0s [B,n], Us [B,N-1,m], duals-batch, k) and metrics are scalars reduced
-    over the whole fleet.
+    (x0s [B,n], Xs [B,N,n], Us [B,N-1,m], duals-batch, k) and metrics are
+    scalars reduced over the whole fleet. The carried states seed the next
+    solve's warm start (exact LTI seam correction — mpc._xws_corrector —
+    skipping the per-solve init rollout).
     """
     N = prob_mpc.N
     dyn = prob_mpc.dynamics
+    from ..mpc import _xws_corrector
+    xws = _xws_corrector(dyn)
 
-    def one_scenario(x0, U, duals, k, noise_i):
+    def one_scenario(x0, X, U, duals, k, noise_i):
         x_prop = dyn.step(x0, U[0], 0)
         x0_new = x_prop + noise_i * jnp.max(jnp.abs(x_prop)) / 100.0
         Xw, Uw = track_window(X_track, U_track, k, N)
         cost_new = retarget_tracking(prob_mpc.cost, Xw, Uw)
         prob_k = prob_mpc.replace(cost=cost_new, x0=x0_new)
-        sol = solve(prob_k, opts, U0=shift_fill(U),
-                    duals=tuple(d.shift() for d in duals))
-        return x0_new, sol.U, sol.duals, sol.stats
+        U_ws = shift_fill(U)
+        X_ws = None if xws is None else xws(X, U_ws, x0_new)
+        sol = solve(prob_k, opts, U0=U_ws,
+                    duals=tuple(d.shift() for d in duals), X0=X_ws)
+        return x0_new, sol.X, sol.U, sol.duals, sol.stats
 
-    def local(x0_blk, U_blk, duals_blk, k, noise_blk):
-        x0n, Un, dualsn, stats = jax.vmap(
-            one_scenario, in_axes=(0, 0, 0, None, 0))(
-                x0_blk, U_blk, duals_blk, k, noise_blk)
+    def local(x0_blk, X_blk, U_blk, duals_blk, k, noise_blk):
+        x0n, Xn, Un, dualsn, stats = jax.vmap(
+            one_scenario, in_axes=(0, 0, 0, 0, None, 0))(
+                x0_blk, X_blk, U_blk, duals_blk, k, noise_blk)
         # fleet-wide aggregates over ICI
         total_iters = jax.lax.psum(jnp.sum(stats.iterations), BATCH_AXIS)
         max_viol = jax.lax.pmax(jnp.max(stats.viol), BATCH_AXIS)
         n_success = jax.lax.psum(jnp.sum(stats.status), BATCH_AXIS)
-        return x0n, Un, dualsn, (total_iters, max_viol, n_success)
+        return x0n, Xn, Un, dualsn, (total_iters, max_viol, n_success)
 
     dual_spec = jax.tree_util.tree_map(lambda _: P(BATCH_AXIS),
                                        prob_mpc.init_duals(1.0))
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS), dual_spec, P(), P(BATCH_AXIS)),
-        out_specs=(P(BATCH_AXIS), P(BATCH_AXIS), dual_spec, (P(), P(), P())),
+        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS), dual_spec,
+                  P(), P(BATCH_AXIS)),
+        out_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS), dual_spec,
+                   (P(), P(), P())),
     )
 
     def step(state, noise):
-        x0s, Us, duals, k = state
-        x0n, Un, dualsn, metrics = fn(x0s, Us, duals, k + 1, noise)
-        return (x0n, Un, dualsn, k + 1), metrics
+        x0s, Xs, Us, duals, k = state
+        x0n, Xn, Un, dualsn, metrics = fn(x0s, Xs, Us, duals, k + 1, noise)
+        return (x0n, Xn, Un, dualsn, k + 1), metrics
 
     return step

@@ -122,3 +122,33 @@ def test_mpc_warm_start_reduces_iterations():
     noise = jnp.zeros((T, prob.n))  # noise-free: warm starts near-exact
     results = run_mpc(prob_mpc, OPTS, X_track, U_track, noise)
     assert float(jnp.mean(results.iters)) <= 8.0
+
+
+def test_xws_corrector_is_exact_rollout():
+    """The shifted-X seam correction must reproduce the warm-start init
+    rollout exactly (up to f64 matmul reassociation) for LTI windows, and
+    decline (return None) for genuinely time-varying stacks."""
+    from altro_tpu.dynamics import LTVDynamics
+    from altro_tpu.mpc import _xws_corrector, shift_fill
+
+    prob, prob_mpc, X_track, U_track = _make_setup(seed=3)
+    dyn = prob_mpc.dynamics
+    corrector = _xws_corrector(dyn)
+    assert corrector is not None
+
+    rng = np.random.default_rng(7)
+    # a genuine previous solution: any dynamically consistent trajectory
+    x0_old = jnp.asarray(rng.standard_normal(prob.n))
+    U_old = jnp.asarray(0.1 * rng.standard_normal((prob_mpc.N - 1, prob.m)))
+    X_old = dyn.rollout(x0_old, U_old)
+    # next step's true initial state = propagated + noise seam
+    x0_new = X_old[1] + jnp.asarray(0.01 * rng.standard_normal(prob.n))
+    U_ws = shift_fill(U_old)
+    X_ws = corrector(X_old, U_ws, x0_new)
+    X_exact = dyn.rollout(x0_new, U_ws)
+    np.testing.assert_allclose(np.asarray(X_ws), np.asarray(X_exact),
+                               atol=1e-10)
+
+    # time-varying stacks: refuse (fall back to the in-solver rollout)
+    A_tv = dyn.A.at[0].mul(1.5)
+    assert _xws_corrector(LTVDynamics(A=A_tv, B=dyn.B, d=dyn.d)) is None

@@ -56,7 +56,7 @@ def test_sharded_mpc_step_runs(setup):
     # initial batched cold solves
     x0s = jnp.tile(prob_mpc.x0, (B, 1))
     sol0 = jax.vmap(lambda x0: at.solve(prob_mpc.replace(x0=x0), OPTS))(x0s)
-    state = (x0s, sol0.U, sol0.duals, jnp.asarray(0))
+    state = (x0s, sol0.X, sol0.U, sol0.duals, jnp.asarray(0))
 
     rng = np.random.default_rng(2)
     jstep = jax.jit(step)

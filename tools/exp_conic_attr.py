@@ -73,7 +73,7 @@ def main():
     for t in range(T - 1):
         carry, out = vstep_k(carry, noise[t], jnp.asarray(t, jnp.int32))
     jax.block_until_ready(carry)
-    x0s, Us, duals = carry
+    x0s, _Xs, Us, duals = carry
     Xs = jax.jit(jax.vmap(pm.dynamics.rollout))(x0s, Us)
     reg = jnp.zeros((B,), dtype)
     n, m = pm.n, pm.m
