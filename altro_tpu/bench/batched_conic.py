@@ -103,7 +103,7 @@ def _throughput(step, init_carry, noise, label, batch_step=None):
 
 def rocket_batched(B: int = 1024, T: int = 30, N_mpc: int = 21,
                    opts_override: dict = None, compact_cap: int = 0,
-                   compact_block: int = 128):
+                   compact_block: int = 128, compact_levels: tuple = ()):
     """Rocket soft-landing SOC MPC (max-thrust + thrust-angle + glideslope
     cones; reference MPC config run_simple_rocket.jl:118-132), batched over
     scenarios differing in process noise (wp=1e-3, wv=1e-2)."""
@@ -149,17 +149,19 @@ def rocket_batched(B: int = 1024, T: int = 30, N_mpc: int = 21,
         batch_step, init_carry = make_mpc_step_device_compacted(
             prob_mpc, opts, cold.X, cold.U,
             noise_model=rocket.rocket_noise_model(), it_cap=compact_cap,
-            block=compact_block)
+            block=compact_block, levels=compact_levels)
     res = _throughput(step, init_carry, noise, "rocket_soc_mpc_N21",
                       batch_step=batch_step)
     res["cold_status"] = int(cold.stats.status)
     if compact_cap:
         res["compact_it_cap"] = compact_cap
+        res["compact_levels"] = list(map(list, compact_levels))
     return res
 
 
 def grasp_batched(B: int = 1024, T: int = 15, N_mpc: int = 21,
-                  compact_cap: int = 0, compact_block: int = 128):
+                  compact_cap: int = 0, compact_block: int = 128,
+                  compact_levels: tuple = ()):
     """Grasp time-varying-SOC MPC (rotating contact frames: torque-balance
     equality + max-force + 2 friction cones per knot, refreshed per step
     without re-jit; grasp_benchmark.jl config), batched over noise."""
@@ -201,11 +203,12 @@ def grasp_batched(B: int = 1024, T: int = 15, N_mpc: int = 21,
         from altro_tpu.mpc import make_mpc_step_device_compacted
         batch_step, init_carry = make_mpc_step_device_compacted(
             prob_mpc, opts, cold.X, cold.U, constraints_fn=fn,
-            it_cap=compact_cap, block=compact_block)
+            it_cap=compact_cap, block=compact_block, levels=compact_levels)
     res = _throughput(step, init_carry, noise, "grasp_tv_soc_mpc_N21",
                       batch_step=batch_step)
     if compact_cap:
         res["compact_it_cap"] = compact_cap
+        res["compact_levels"] = list(map(list, compact_levels))
     return res
 
 
@@ -227,21 +230,31 @@ def main():
     p.add_argument("--compact-block", type=int,
                    default=int(os.environ.get("BENCH_COMPACT_BLOCK", 256)),
                    help="compaction block size (multiple of 128)")
+    p.add_argument("--compact-levels",
+                   default=os.environ.get("BENCH_COMPACT_LEVELS", ""),
+                   help="extra nested compaction stages as "
+                        "'cap:block,cap:block' (e.g. '24:128'); each stage "
+                        "runs the current block cap more iterations, then "
+                        "gathers block stragglers for the next")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
     meta = dict(device=str(jax.devices()[0]), dtype="float32")
+    levels = tuple(tuple(int(x) for x in part.split(":"))
+                   for part in args.compact_levels.split(",") if part)
     if args.which in ("all", "rocket"):
         print("== rocket_batched", flush=True)
         res = dict(rocket_batched(B=args.batch,
                                   compact_cap=args.compact_cap,
-                                  compact_block=args.compact_block), **meta)
+                                  compact_block=args.compact_block,
+                                  compact_levels=levels), **meta)
         with open(os.path.join(args.out, "rocket_batched.json"), "w") as f:
             json.dump(res, f, indent=1)
     if args.which in ("all", "grasp"):
         print("== grasp_batched", flush=True)
         res = dict(grasp_batched(B=args.batch,
                                  compact_cap=args.compact_cap,
-                                 compact_block=args.compact_block), **meta)
+                                 compact_block=args.compact_block,
+                                 compact_levels=levels), **meta)
         with open(os.path.join(args.out, "grasp_batched.json"), "w") as f:
             json.dump(res, f, indent=1)
 

@@ -273,11 +273,15 @@ def make_mpc_step_compacted(prob_mpc: Problem, opts: SolverOptions,
                                    it_cap=it_cap)
         return state, x0_new
 
-    def resume(state, k):
-        # prob.x0 is not read on resume (the state carries the trajectory)
+    def resume(state, k, it_cap=None):
+        # prob.x0 is not read on resume (the state carries the trajectory).
+        # ``it_cap`` (static) continues to an ABSOLUTE iteration count
+        # instead of completion — the solver state carries the global
+        # iteration counter, so capped resumes compose exactly (multi-level
+        # compaction in make_mpc_step_device_compacted).
         prob_k = _prob_at(k + 1, prob_mpc.x0)
         with jax.default_matmul_precision("highest"):
-            return _alt._flat_while(prob_k, opts, state, None)
+            return _alt._flat_while(prob_k, opts, state, it_cap)
 
     def extract(state, x0_new, k):
         prob_k = _prob_at(k + 1, prob_mpc.x0)
@@ -298,7 +302,8 @@ def make_mpc_step_device_compacted(prob_mpc: Problem, opts: SolverOptions,
                                    X_track, U_track,
                                    noise_model=default_noise_model,
                                    constraints_fn=None, it_cap: int = 24,
-                                   block: int = 128):
+                                   block: int = 128,
+                                   levels: tuple = ()):
     """Batch-level MPC step with DEVICE-SIDE straggler compaction — one
     jitted program per step, so pipelined dispatch (and the tunnel RTT it
     hides) is preserved, unlike the host-orchestrated
@@ -319,21 +324,44 @@ def make_mpc_step_device_compacted(prob_mpc: Problem, opts: SolverOptions,
     Rocket SOC tail at B=1024: mean 15.4 iterations/solve but the per-step
     lane max averages 100.8 — wall time follows the max, so capping the
     full-batch phase at ~p90 and finishing ~10 stragglers in a 128-lane
-    block cuts most of the straggler tax."""
+    block cuts most of the straggler tax.
+
+    ``levels`` adds FURTHER compaction stages inside the straggler block:
+    each ``(extra_cap, sub_block)`` entry runs the current block for
+    ``extra_cap`` more iterations (the solver's iteration counter is
+    absolute, so capped resumes compose exactly), then gathers the
+    ``sub_block`` unconverged-first lanes of THAT block for the next
+    stage; the innermost stage runs to completion. Every stage ends with
+    its own catch-all resume (free unless its gather overflowed), so
+    results stay bit-identical to the plain step for any schedule."""
     partial, resume, extract, init_carry = make_mpc_step_compacted(
         prob_mpc, opts, X_track, U_track, noise_model, constraints_fn,
         it_cap=it_cap)
+    sched = ((it_cap, block),) + tuple(levels)
+
+    def compact(states, k, lvl, cum):
+        # `states` has just run to the absolute iteration cap `cum`; gather
+        # this level's block of stragglers, finish them (possibly through
+        # deeper levels), scatter back, then catch-all to completion.
+        blk = sched[lvl][1]
+        done = states[10]
+        take = jnp.argsort(done.astype(jnp.int32), stable=True)[:blk]
+        sub = jax.tree_util.tree_map(lambda a: a[take], states)
+        if lvl + 1 < len(sched):
+            extra = sched[lvl + 1][0]
+            sub = jax.vmap(
+                lambda s: resume(s, k, it_cap=cum + extra))(sub)
+            sub = compact(sub, k, lvl + 1, cum + extra)
+        else:
+            sub = jax.vmap(resume, (0, None))(sub, k)
+        states = jax.tree_util.tree_map(
+            lambda a, b: a.at[take].set(b), states, sub)
+        # catch-all for >blk stragglers: exact, and free when none
+        return jax.vmap(resume, (0, None))(states, k)
 
     def step_batch(carry, noise_i, k):
         states, x0n = jax.vmap(partial, (0, 0, None))(carry, noise_i, k)
-        done = states[10]
-        take = jnp.argsort(done.astype(jnp.int32), stable=True)[:block]
-        sub = jax.tree_util.tree_map(lambda a: a[take], states)
-        sub = jax.vmap(resume, (0, None))(sub, k)
-        states = jax.tree_util.tree_map(
-            lambda a, b: a.at[take].set(b), states, sub)
-        # catch-all for >block stragglers: exact, and free when none
-        states = jax.vmap(resume, (0, None))(states, k)
+        states = compact(states, k, 0, it_cap)
         return jax.vmap(extract, (0, 0, None))(states, x0n, k)
 
     return step_batch, init_carry

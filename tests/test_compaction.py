@@ -97,3 +97,44 @@ def test_compacted_mpc_step_matches_plain():
                                       np.asarray(ref[t].iters))
         np.testing.assert_array_equal(np.asarray(out2.status),
                                       np.asarray(ref[t].status))
+
+
+def test_device_compacted_two_level_matches_plain():
+    """The device-side compacted step with a nested compaction schedule
+    (capped resume + sub-block gather) is bit-identical to the plain
+    batched step — caps only pause lanes, never change their iterates."""
+    from altro_tpu.mpc import make_mpc_step_device_compacted
+
+    rng = np.random.default_rng(3)
+    prob = random_linear.gen_random_linear(rng, 6, 3, 41, dtype=jnp.float64)
+    cold = jax.jit(at.solve)(prob, at.SolverOptions(
+        cost_tolerance=1e-6, constraint_tolerance=1e-6,
+        penalty_initial=1e3, penalty_scaling=100.0))
+    pm = gen_tracking_mpc(prob, cold.X, cold.U, 15)
+    opts = at.SolverOptions(cost_tolerance=1e-4, constraint_tolerance=1e-4,
+                            penalty_initial=1e3, penalty_scaling=100.0,
+                            reset_duals=False)
+    B, T = 8, 3
+    noise = jnp.asarray(rng.standard_normal((T, B, 6)))
+
+    step, init_carry = make_mpc_step(pm, opts, cold.X, cold.U, shared_k=True)
+    vstep = jax.jit(jax.vmap(step, in_axes=(0, 0, None)))
+    carry = jax.jit(jax.vmap(lambda _: init_carry()))(jnp.arange(B))
+    ref = []
+    for t in range(T):
+        carry, out = vstep(carry, noise[t], jnp.asarray(t, jnp.int32))
+        ref.append(out)
+
+    # tiny caps/blocks so both compaction levels and both catch-alls engage
+    bstep, icc = make_mpc_step_device_compacted(
+        pm, opts, cold.X, cold.U, it_cap=1, block=4, levels=((1, 2),))
+    jb = jax.jit(bstep)
+    carry2 = jax.jit(jax.vmap(lambda _: icc()))(jnp.arange(B))
+    for t in range(T):
+        carry2, out2 = jb(carry2, noise[t], jnp.asarray(t, jnp.int32))
+        np.testing.assert_array_equal(np.asarray(out2.U),
+                                      np.asarray(ref[t].U))
+        np.testing.assert_array_equal(np.asarray(out2.iters),
+                                      np.asarray(ref[t].iters))
+        np.testing.assert_array_equal(np.asarray(out2.status),
+                                      np.asarray(ref[t].status))
