@@ -239,8 +239,21 @@ def main():
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
     meta = dict(device=str(jax.devices()[0]), dtype="float32")
-    levels = tuple(tuple(int(x) for x in part.split(":"))
-                   for part in args.compact_levels.split(",") if part)
+    levels = []
+    for part in (s for s in args.compact_levels.split(",") if s):
+        fields = part.split(":")
+        if len(fields) != 2:
+            p.error(f"--compact-levels entry {part!r} must be 'cap:block'")
+        cap, block = int(fields[0]), int(fields[1])
+        if block % 128 != 0:
+            print(f"# warning: --compact-levels block {block} is not a "
+                  "multiple of 128; the Pallas kernels will not dispatch "
+                  "for that stage", flush=True)
+        levels.append((cap, block))
+    levels = tuple(levels)
+    if levels and args.compact_cap == 0:
+        p.error("--compact-levels requires --compact-cap > 0 "
+                "(levels are ignored by the plain vmapped step)")
     if args.which in ("all", "rocket"):
         print("== rocket_batched", flush=True)
         res = dict(rocket_batched(B=args.batch,

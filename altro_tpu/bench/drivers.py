@@ -367,7 +367,7 @@ def rocket_multibaseline_tol(tols=(1e-2, 1e-4, 1e-6, 1e-8), T: int = 10,
             jax.block_until_ready(res.U)
             ms["altro"].append((time.perf_counter() - t0) * 1e3)
             sts["altro"].append(int(res.status))
-            prob_k = prob_at(int(carry[3]), res.x0)
+            prob_k = prob_at(int(carry[4]), res.x0)
 
             U_truth, st_truth = native_solve(prob_k, 1e-9)
             assert st_truth == 1, "truth solve did not converge"
@@ -455,6 +455,132 @@ def grasp_horizon_sweep(Ns=(11, 21, 31, 41, 51), T: int = 15,
               f"err_U={errs[N_mpc]['err_U']:.2e}, "
               f"cost_gap={cost_gap:.2e}", flush=True)
     return dict(times=times, errs=errs, xlabel="MPC horizon N")
+
+
+def grasp_multibaseline_tol(tols=(1e-2, 1e-4, 1e-6, 1e-8), T: int = 10,
+                            N_mpc: int = 21, dtype=jnp.float64):
+    """Grasp counterpart of :func:`rocket_multibaseline_tol`: the same
+    four-solver error-vs-tolerance study on one grasp MPC horizon (the
+    reference drives ECOS/COSMO/Mosek on the grasp sweep,
+    grasp_benchmark.jl:36-62; this is the multi-baseline treatment at
+    N_mpc=21 with the reference's tracking weights).
+
+    The grasp instances carry TIME-VARYING constraint stacks (the contact
+    frames rotate each MPC step, grasp_mpc_helpers.jl:46-55), so every
+    baseline re-ingests the rotated constraint data per step: the dense
+    conic ADMM refactors its KKT, the knot ADMM refreshes through its
+    banded refactor, and the native C++ oracle re-reads the batch data.
+    Error reference: an independent native C++ solve at 1e-9 per instance."""
+    import altro_tpu as at
+    from altro_tpu import native
+    from altro_tpu.costs import retarget_tracking
+    from altro_tpu.models import grasp
+    from altro_tpu.mpc import (gen_tracking_mpc, make_mpc_step,
+                               track_window)
+    from altro_tpu.solver import admm_conic, knot_admm
+    from altro_tpu.transcribe import to_batch_conic
+
+    N, tf = 251, 6.0
+    o = grasp.make_grasp_object(N, tf, dtype=dtype)
+    prob = grasp.grasp_problem(o, N, tf, dtype=dtype)
+    cold = jax.jit(at.solve)(prob, _opts(
+        cost_tolerance=1e-6, gradient_tolerance=1e-8,
+        constraint_tolerance=1e-6, penalty_initial=10.0, penalty_scaling=10.0,
+        iterations_outer=30, iterations_inner=50),
+        U0=grasp.hover_controls(o, N, dtype=dtype))
+    prob_mpc = gen_tracking_mpc(prob, cold.X, cold.U, N_mpc, Qk=1e3,
+                                Rk=1.0, Qfk=10.0, dt=tf / (N - 1))
+    prob_mpc = prob_mpc.replace(
+        constraints=grasp.grasp_constraints(o, N_mpc, 0, dtype=dtype))
+    cons_fn = lambda k: grasp.grasp_constraints(o, N_mpc, k, dtype=dtype)
+    rng = np.random.default_rng(1)
+    noise = jnp.asarray(rng.standard_normal((T, 6)), dtype)
+
+    cwork0 = admm_conic.setup(to_batch_conic(prob_mpc))
+    kwork0 = knot_admm.setup(knot_admm.to_knot_qp(prob_mpc))
+
+    def prob_at(k, x0):
+        Xw, Uw = track_window(cold.X, cold.U, k, N_mpc)
+        return prob_mpc.replace(
+            cost=retarget_tracking(prob_mpc.cost, Xw, Uw), x0=x0,
+            constraints=cons_fn(k))
+
+    def dense_solve(prob_k, eps):
+        data = to_batch_conic(prob_k)
+        sol = admm_conic.solve(admm_conic.refactor(cwork0, data),
+                               eps_abs=eps, max_iter=100000)
+        X, U = admm_conic.extract_traj(data, sol.x)
+        return U, sol.status
+
+    def knot_solve(prob_k, eps):
+        kqp = knot_admm.to_knot_qp(prob_k)
+        sol = knot_admm.solve(knot_admm.refactor(kwork0, kqp), eps_abs=eps,
+                              max_iter=20000)
+        return sol.U, sol.status
+
+    jdense = jax.jit(dense_solve, static_argnums=1)
+    jknot = jax.jit(knot_solve, static_argnums=1)
+
+    def native_solve(prob_k, eps):
+        data = to_batch_conic(prob_k)
+        sol = native.solve_conic(
+            np.asarray(data.P), np.asarray(data.q), np.asarray(data.A),
+            np.asarray(data.b), data.segments, eps_abs=eps, max_iter=300000)
+        X, U = admm_conic.extract_traj(data, jnp.asarray(sol.x))
+        return np.asarray(U), sol.status
+
+    out = []
+    for tol in tols:
+        opts = _opts(cost_tolerance=tol, gradient_tolerance=tol * 1e-2,
+                     constraint_tolerance=tol, penalty_initial=1e4,
+                     penalty_scaling=100.0, reset_duals=False,
+                     iterations_outer=40)
+        step, init_carry = make_mpc_step(prob_mpc, opts, cold.X, cold.U,
+                                         constraints_fn=cons_fn)
+        jstep = jax.jit(step)
+        carry = jax.block_until_ready(jax.jit(init_carry)())
+        jax.block_until_ready(jstep(carry, noise[0]))  # compile
+
+        errs = {"altro": [], "dense_admm": [], "knot_admm": [],
+                "native_cpp": []}
+        ms = {k: [] for k in errs}
+        sts = {k: [] for k in errs}
+        for t in range(T):
+            t0 = time.perf_counter()
+            carry, res = jstep(carry, noise[t])
+            jax.block_until_ready(res.U)
+            ms["altro"].append((time.perf_counter() - t0) * 1e3)
+            sts["altro"].append(int(res.status))
+            prob_k = prob_at(int(carry[4]), res.x0)
+
+            U_truth, st_truth = native_solve(prob_k, 1e-9)
+            assert st_truth == 1, "truth solve did not converge"
+
+            errs["altro"].append(
+                float(jnp.max(jnp.abs(res.U - U_truth))))
+            for name, fn in (("dense_admm", jdense), ("knot_admm", jknot)):
+                t0 = time.perf_counter()
+                U_b, st = fn(prob_k, tol)
+                jax.block_until_ready(U_b)
+                ms[name].append((time.perf_counter() - t0) * 1e3)
+                errs[name].append(float(jnp.max(jnp.abs(U_b - U_truth))))
+                sts[name].append(int(st))
+            t0 = time.perf_counter()
+            U_n, st = native_solve(prob_k, tol)
+            ms["native_cpp"].append((time.perf_counter() - t0) * 1e3)
+            errs["native_cpp"].append(float(np.max(np.abs(U_n - U_truth))))
+            sts["native_cpp"].append(int(st))
+
+        row = dict(tol=tol)
+        for k in errs:
+            row[f"err_{k}"] = max(errs[k])
+            row[f"ms_{k}"] = float(np.mean(ms[k]))
+            row[f"success_{k}"] = float(np.mean(sts[k]))
+        out.append(row)
+        print(f"  tol={tol:g}: " + " ".join(
+            f"{k}={row[f'err_{k}']:.2e}/{row[f'ms_{k}']:.1f}ms"
+            for k in errs), flush=True)
+    return dict(rows=out, cold_iterations=int(cold.stats.iterations))
 
 
 # ---------------------------------------------------------------------------
@@ -574,6 +700,7 @@ BENCHMARKS = {
     "rocket": rocket_tol_sweep,
     "rocket_multibaseline": rocket_multibaseline_tol,
     "grasp": grasp_horizon_sweep,
+    "grasp_multibaseline": grasp_multibaseline_tol,
     "flexsat": flexsat_benchmark,
     "quadruped": quadruped_benchmark,
 }
@@ -694,6 +821,7 @@ def _fig_rocket_multibaseline(res, path):
 FIGURES = {
     "rocket": _fig_rocket,
     "rocket_multibaseline": _fig_rocket_multibaseline,
+    "grasp_multibaseline": _fig_rocket_multibaseline,
     "flexsat": _fig_flexsat,
     "quadruped": _fig_quadruped,
 }

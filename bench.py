@@ -4,9 +4,11 @@ Runs the random-linear MPC benchmark config (n=12, m=6, N_mpc=30 — the
 BASELINE.json north-star config) as a vmapped batch of scenarios stepping a
 warm-started receding-horizon loop on one chip, and reports throughput.
 
-Baseline: the reference ALTRO solves this config in ~0.57 ms per warm-started
-MPC step on a desktop CPU core (figures/horizon_comp.tikz mean line: 0.583 ms
-at N=31, interpolated to N=30) => ~1754 solves/s.
+Baseline: the reference ALTRO horizon-sweep means committed in BASELINE.md
+(mined from the reference's figures/horizon_comp.tikz), linearly interpolated
+to N=30 — derived programmatically by :func:`baseline_solves_per_s` so the
+headline multiple is reproducible from the committed artifact, not a
+hand-typed constant.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -14,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 
 import numpy as np
@@ -21,7 +24,32 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BASELINE_SOLVES_PER_S = 1000.0 / 0.57  # reference ALTRO, N=30 (see docstring)
+
+def baseline_solves_per_s(n_mpc: int = 30, path: str = None) -> float:
+    """Reference-ALTRO throughput at horizon ``n_mpc``, derived from the
+    random-linear horizon-sweep row of BASELINE.md (the committed restatement
+    of the reference's figures/horizon_comp.tikz mean line). Linear
+    interpolation between the tabulated N values."""
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BASELINE.md")
+    with open(path) as f:
+        text = f.read()
+    row = next(line for line in text.splitlines()
+               if "horizon sweep" in line and "Random linear" in line)
+    cells = [c.strip() for c in row.split("|")]
+    ns = [int(x) for x in re.search(r"N=([\d/]+)", cells[2]).group(1).split("/")]
+    times = [float(x) for x in cells[3].split("/")]
+    assert len(ns) == len(times) and ns == sorted(ns)
+    ms = float(np.interp(n_mpc, ns, times))
+    import sys
+    print(f"# baseline: reference ALTRO {ms:.4f} ms/solve at N={n_mpc} "
+          f"(interpolated from BASELINE.md horizon row N={ns} -> {times})",
+          file=sys.stderr)
+    return 1000.0 / ms
+
+
+BASELINE_SOLVES_PER_S = baseline_solves_per_s()
 
 
 def main():

@@ -5,7 +5,10 @@ config, 22.6k solves/s) against two-level schedules (a capped resume of the
 256-lane block followed by a 128-lane completion stage) and a lower first
 cap that the second level makes affordable, plus a penalty-scaling variant
 aimed at shortening the tail itself. Results are bit-identical across
-schedules (tests/test_compaction.py); only wall time may differ.
+COMPACTION SCHEDULES with identical SolverOptions (tests/test_compaction.py);
+only wall time may differ. The penalty_scaling=30 config changes the solve
+itself (different iterate sequence), so its results are NOT comparable
+bit-for-bit with the others — only its throughput/agreement summary is.
 
 Run on TPU, serially: python -m tools.exp_tail
 """
