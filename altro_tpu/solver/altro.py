@@ -552,11 +552,27 @@ def _warmstart_state(prob: Problem, opts: SolverOptions,
             jnp.zeros((), jnp.int32), jnp.zeros((), bool))
 
 
+def loop_fns(prob: Problem, opts: SolverOptions, s0,
+             it_cap: Optional[int] = None):
+    """(cond, body) of the flat AL+iLQR loop for state ``s0`` — exposed for
+    diagnostics: scanning ``body`` a fixed number of times and recording the
+    state per iteration yields a convergence trace (tools/exp_tail_diag.py).
+    ``body`` freezes a lane once its own ``cond`` is false, so over-scanning
+    past convergence is a no-op (the compaction resume relies on this)."""
+    return _loop_fns(prob, opts, s0, it_cap)
+
+
 def _flat_while(prob: Problem, opts: SolverOptions, s0,
                 it_cap: Optional[int]):
     """The flat AL + iLQR ``lax.while_loop`` from state ``s0``; stops early
     at ``it_cap`` total iLQR iterations when given (straggler compaction —
     see :func:`solve_partial`)."""
+    cond, body = _loop_fns(prob, opts, s0, it_cap)
+    return jax.lax.while_loop(cond, body, s0)
+
+
+def _loop_fns(prob: Problem, opts: SolverOptions, s0,
+              it_cap: Optional[int]):
     dtype = s0[0].dtype
 
     # ---------------- flat AL + iLQR loop ----------------
@@ -758,7 +774,7 @@ def _flat_while(prob: Problem, opts: SolverOptions, s0,
             active = (~done) & (rounds < opts.iterations_outer)
             return _where_tree(active, out, keep)
 
-        return jax.lax.while_loop(cond, body, s0)
+        return cond, body
 
     return flat_solve(s0)
 
