@@ -101,108 +101,168 @@ def _throughput(step, init_carry, noise, label, batch_step=None):
     return res
 
 
+def rocket_setup(dtype=None, N_mpc: int = 21, opts_override: dict = None,
+                 track=None):
+    """Shared rocket MPC-bench construction (problem, warm-solve options,
+    tracking reference) used by both :func:`rocket_batched` and the conic
+    agreement artifact (bench/agreement_conic.py) so the two always measure
+    the IDENTICAL configuration. ``track=(X, U)`` skips the cold solve and
+    tracks the given trajectory (agreement phase2 re-uses phase1's f32 cold
+    reference so f32-TPU and f64-CPU solve the same window targets)."""
+    import altro_tpu as at
+    from altro_tpu.models import rocket
+    from altro_tpu.mpc import gen_tracking_mpc
+
+    dtype = dtype or jnp.float32
+    N = 301
+    prob = rocket.rocket_problem(N=N, tf=(N - 1) * 0.05, dtype=dtype)
+    cold_status = None
+    if track is None:
+        cold_opts = at.SolverOptions(
+            cost_tolerance=1e-5, gradient_tolerance=1e-6,
+            constraint_tolerance=1e-4, penalty_initial=1e-2,
+            penalty_scaling=500.0, iterations_outer=40,
+            iterations_inner=100)
+        print(f"  cold solve (N=301, {jnp.dtype(dtype).name})...",
+              flush=True)
+        cold = jax.jit(at.solve)(prob, cold_opts,
+                                 U0=rocket.hover_controls(prob))
+        jax.block_until_ready(cold.X)
+        cold_status = int(cold.stats.status)
+        print(f"  cold: status={cold_status} "
+              f"viol={float(cold.stats.viol):.2e}", flush=True)
+        track = (cold.X, cold.U)
+    X_track, U_track = track
+
+    prob_mpc = gen_tracking_mpc(prob, X_track, U_track, N_mpc, dt=0.05)
+    # warm-solve tuning (measured on TPU, B=1024: penalty_initial=1e3 /
+    # scaling=10 / reset each solve took 20.5 mean iters -> 8.3k solves/s;
+    # carrying converged penalties across solves with a taller initial cuts
+    # the WORST-lane iteration count — wall time follows the batch max;
+    # see tools/exp_conic_tune.py). iterations_inner=8 + reg_min=1.0 kill
+    # the straggler tail at its source (tools/exp_inner_cap.py): the old
+    # tail lanes spent a full 50-iteration inner phase chattering across
+    # the SOC projection kink with the violation already ~1e-4, plus ~8
+    # iterations re-climbing regularization from 1e-8 after a rejection.
+    # Inexact inner solves (cap 8) + a floor that makes the first rejection
+    # jump straight to working regularization cut the per-step lane-max
+    # from 100.8 to 26 iters with unchanged success/violation.
+    okw = dict(
+        cost_tolerance=1e-4, gradient_tolerance=1e-6,
+        constraint_tolerance=1e-4, penalty_initial=1e4,
+        penalty_scaling=10.0, reset_duals=False, reset_penalties=False,
+        iterations_outer=10, iterations_inner=8, reg_min=1.0,
+        early_exact_tol=1e-3)
+    okw.update(opts_override or {})
+    opts = at.SolverOptions(**okw)
+    from altro_tpu.models import rocket as _rocket
+    return dict(prob_mpc=prob_mpc, opts=opts, X_track=X_track,
+                U_track=U_track, constraints_fn=None,
+                noise_model=_rocket.rocket_noise_model(), noise_dim=6,
+                cold_status=cold_status)
+
+
 def rocket_batched(B: int = 1024, T: int = 30, N_mpc: int = 21,
                    opts_override: dict = None, compact_cap: int = 0,
                    compact_block: int = 128, compact_levels: tuple = ()):
     """Rocket soft-landing SOC MPC (max-thrust + thrust-angle + glideslope
     cones; reference MPC config run_simple_rocket.jl:118-132), batched over
     scenarios differing in process noise (wp=1e-3, wv=1e-2)."""
-    import altro_tpu as at
-    from altro_tpu.models import rocket
-    from altro_tpu.mpc import gen_tracking_mpc, make_mpc_step
+    from altro_tpu.mpc import make_mpc_step
 
     dtype = jnp.float32
-    N = 301
-    prob = rocket.rocket_problem(N=N, tf=(N - 1) * 0.05, dtype=dtype)
-    cold_opts = at.SolverOptions(
-        cost_tolerance=1e-5, gradient_tolerance=1e-6,
-        constraint_tolerance=1e-4, penalty_initial=1e-2,
-        penalty_scaling=500.0, iterations_outer=40, iterations_inner=100)
-    print("  cold solve (N=301, f32)...", flush=True)
-    cold = jax.jit(at.solve)(prob, cold_opts, U0=rocket.hover_controls(prob))
-    jax.block_until_ready(cold.X)
-    print(f"  cold: status={int(cold.stats.status)} "
-          f"viol={float(cold.stats.viol):.2e}", flush=True)
-
-    prob_mpc = gen_tracking_mpc(prob, cold.X, cold.U, N_mpc, dt=0.05)
-    # warm-solve tuning (measured on TPU, B=1024: penalty_initial=1e3 /
-    # scaling=10 / reset each solve took 20.5 mean iters -> 8.3k solves/s;
-    # carrying converged penalties across solves with a taller initial cuts
-    # the WORST-lane iteration count — wall time follows the batch max —
-    # and lands 11.6k solves/s; see tools/exp_conic_tune.py)
-    okw = dict(
-        cost_tolerance=1e-4, gradient_tolerance=1e-6,
-        constraint_tolerance=1e-4, penalty_initial=1e4,
-        penalty_scaling=10.0, reset_duals=False, reset_penalties=False,
-        iterations_outer=10, early_exact_tol=1e-3)
-    okw.update(opts_override or {})
-    opts = at.SolverOptions(**okw)
+    su = rocket_setup(dtype, N_mpc=N_mpc, opts_override=opts_override)
+    prob_mpc, opts = su["prob_mpc"], su["opts"]
 
     rng = np.random.default_rng(1)
     noise = jnp.asarray(rng.standard_normal((T, B, 6)), dtype)
     step, init_carry = make_mpc_step(
-        prob_mpc, opts, cold.X, cold.U,
-        noise_model=rocket.rocket_noise_model(), shared_k=True)
+        prob_mpc, opts, su["X_track"], su["U_track"],
+        noise_model=su["noise_model"], shared_k=True)
     batch_step = None
     if compact_cap:
         from altro_tpu.mpc import make_mpc_step_device_compacted
         batch_step, init_carry = make_mpc_step_device_compacted(
-            prob_mpc, opts, cold.X, cold.U,
-            noise_model=rocket.rocket_noise_model(), it_cap=compact_cap,
+            prob_mpc, opts, su["X_track"], su["U_track"],
+            noise_model=su["noise_model"], it_cap=compact_cap,
             block=compact_block, levels=compact_levels)
     res = _throughput(step, init_carry, noise, "rocket_soc_mpc_N21",
                       batch_step=batch_step)
-    res["cold_status"] = int(cold.stats.status)
+    res["cold_status"] = su["cold_status"]
     if compact_cap:
         res["compact_it_cap"] = compact_cap
         res["compact_levels"] = list(map(list, compact_levels))
     return res
 
 
-def grasp_batched(B: int = 1024, T: int = 15, N_mpc: int = 21,
-                  compact_cap: int = 0, compact_block: int = 128,
-                  compact_levels: tuple = ()):
-    """Grasp time-varying-SOC MPC (rotating contact frames: torque-balance
-    equality + max-force + 2 friction cones per knot, refreshed per step
-    without re-jit; grasp_benchmark.jl config), batched over noise."""
+def grasp_setup(dtype=None, N_mpc: int = 21, opts_override: dict = None,
+                track=None):
+    """Shared grasp MPC-bench construction; see :func:`rocket_setup` for
+    the contract (used by grasp_batched + bench/agreement_conic.py)."""
     import altro_tpu as at
     from altro_tpu.models import grasp
-    from altro_tpu.mpc import gen_tracking_mpc, make_mpc_step
+    from altro_tpu.mpc import gen_tracking_mpc
 
-    dtype = jnp.float32
+    dtype = dtype or jnp.float32
     N, tf = 61, 6.0
     o = grasp.make_grasp_object(N, tf, dtype=dtype)
     prob = grasp.grasp_problem(o, N, tf, dtype=dtype)
-    cold_opts = at.SolverOptions(
-        cost_tolerance=1e-5, gradient_tolerance=1e-6,
-        constraint_tolerance=1e-5, penalty_initial=10.0,
-        penalty_scaling=10.0, iterations_outer=30, iterations_inner=50)
-    print("  cold solve (N=61, f32)...", flush=True)
-    cold = jax.jit(at.solve)(prob, cold_opts,
-                             U0=grasp.hover_controls(o, N, dtype=dtype))
-    jax.block_until_ready(cold.X)
-    print(f"  cold: status={int(cold.stats.status)} "
-          f"viol={float(cold.stats.viol):.2e}", flush=True)
+    cold_status = None
+    if track is None:
+        cold_opts = at.SolverOptions(
+            cost_tolerance=1e-5, gradient_tolerance=1e-6,
+            constraint_tolerance=1e-5, penalty_initial=10.0,
+            penalty_scaling=10.0, iterations_outer=30,
+            iterations_inner=50)
+        print(f"  cold solve (N=61, {jnp.dtype(dtype).name})...",
+              flush=True)
+        cold = jax.jit(at.solve)(prob, cold_opts,
+                                 U0=grasp.hover_controls(o, N, dtype=dtype))
+        jax.block_until_ready(cold.X)
+        cold_status = int(cold.stats.status)
+        print(f"  cold: status={cold_status} "
+              f"viol={float(cold.stats.viol):.2e}", flush=True)
+        track = (cold.X, cold.U)
+    X_track, U_track = track
 
-    prob_mpc = gen_tracking_mpc(prob, cold.X, cold.U, N_mpc, Qk=1e3,
+    prob_mpc = gen_tracking_mpc(prob, X_track, U_track, N_mpc, Qk=1e3,
                                 Rk=1.0, Qfk=10.0, dt=tf / (N - 1))
     prob_mpc = prob_mpc.replace(
         constraints=grasp.grasp_constraints(o, N_mpc, 0, dtype=dtype))
-    opts = at.SolverOptions(
+    okw = dict(
         cost_tolerance=1e-4, constraint_tolerance=1e-4,
         penalty_initial=1e4, penalty_scaling=100.0, reset_duals=False,
-        early_exact_tol=1e-3)
+        iterations_inner=8, reg_min=1.0, early_exact_tol=1e-3)
+    okw.update(opts_override or {})
+    opts = at.SolverOptions(**okw)
+    fn = lambda k: grasp.grasp_constraints(o, N_mpc, k, dtype=dtype)
+    return dict(prob_mpc=prob_mpc, opts=opts, X_track=X_track,
+                U_track=U_track, constraints_fn=fn, noise_model=None,
+                noise_dim=6, cold_status=cold_status)
+
+
+def grasp_batched(B: int = 1024, T: int = 15, N_mpc: int = 21,
+                  opts_override: dict = None, compact_cap: int = 0,
+                  compact_block: int = 128, compact_levels: tuple = ()):
+    """Grasp time-varying-SOC MPC (rotating contact frames: torque-balance
+    equality + max-force + 2 friction cones per knot, refreshed per step
+    without re-jit; grasp_benchmark.jl config), batched over noise."""
+    from altro_tpu.mpc import make_mpc_step
+
+    dtype = jnp.float32
+    su = grasp_setup(dtype, N_mpc=N_mpc, opts_override=opts_override)
+    prob_mpc, opts, fn = su["prob_mpc"], su["opts"], su["constraints_fn"]
 
     rng = np.random.default_rng(0)
     noise = jnp.asarray(rng.standard_normal((T, B, 6)), dtype)
-    fn = lambda k: grasp.grasp_constraints(o, N_mpc, k, dtype=dtype)
-    step, init_carry = make_mpc_step(prob_mpc, opts, cold.X, cold.U,
+    step, init_carry = make_mpc_step(prob_mpc, opts, su["X_track"],
+                                     su["U_track"],
                                      constraints_fn=fn, shared_k=True)
     batch_step = None
     if compact_cap:
         from altro_tpu.mpc import make_mpc_step_device_compacted
         batch_step, init_carry = make_mpc_step_device_compacted(
-            prob_mpc, opts, cold.X, cold.U, constraints_fn=fn,
+            prob_mpc, opts, su["X_track"], su["U_track"], constraints_fn=fn,
             it_cap=compact_cap, block=compact_block, levels=compact_levels)
     res = _throughput(step, init_carry, noise, "grasp_tv_soc_mpc_N21",
                       batch_step=batch_step)
@@ -219,16 +279,19 @@ def main():
                    default=int(os.environ.get("BENCH_BATCH", 1024)))
     p.add_argument("--which", default="all",
                    choices=["all", "rocket", "grasp"])
-    # default ON: measured sweet spot on TPU v5e B=1024 — rocket
-    # 10.6k -> 22.6k, grasp 12.2k -> 23.3k solves/s at cap=24/block=256
-    # (identical per-lane results; caps 16/32/40 and the host-sync variant
-    # all measured worse). 0 restores the plain vmapped step.
+    # default ON (-1 = per-family measured sweet spot on TPU v5e B=1024
+    # with the inner8/reg_min=1 tail fix): rocket cap=8 (lane-max 26 —
+    # 77.8k solves/s vs 38.8k at the old cap24/b256), grasp cap=12 (its
+    # tail is longer, lane-max 88 — 35.2k vs 20.1k; cap8 collapses to 10k
+    # there). Caps 6/10/16/24, block 256, and a second level all measured
+    # worse; see tools/exp_inner_cap.py provenance. 0 restores the plain
+    # vmapped step.
     p.add_argument("--compact-cap", type=int,
-                   default=int(os.environ.get("BENCH_COMPACT_CAP", 24)),
+                   default=int(os.environ.get("BENCH_COMPACT_CAP", -1)),
                    help="it_cap for device-side straggler compaction "
-                        "(0 = plain vmapped step)")
+                        "(-1 = per-family default, 0 = plain vmapped step)")
     p.add_argument("--compact-block", type=int,
-                   default=int(os.environ.get("BENCH_COMPACT_BLOCK", 256)),
+                   default=int(os.environ.get("BENCH_COMPACT_BLOCK", 128)),
                    help="compaction block size (multiple of 128)")
     p.add_argument("--compact-levels",
                    default=os.environ.get("BENCH_COMPACT_LEVELS", ""),
@@ -256,16 +319,16 @@ def main():
                 "(levels are ignored by the plain vmapped step)")
     if args.which in ("all", "rocket"):
         print("== rocket_batched", flush=True)
-        res = dict(rocket_batched(B=args.batch,
-                                  compact_cap=args.compact_cap,
+        cap = 8 if args.compact_cap == -1 else args.compact_cap
+        res = dict(rocket_batched(B=args.batch, compact_cap=cap,
                                   compact_block=args.compact_block,
                                   compact_levels=levels), **meta)
         with open(os.path.join(args.out, "rocket_batched.json"), "w") as f:
             json.dump(res, f, indent=1)
     if args.which in ("all", "grasp"):
         print("== grasp_batched", flush=True)
-        res = dict(grasp_batched(B=args.batch,
-                                 compact_cap=args.compact_cap,
+        cap = 12 if args.compact_cap == -1 else args.compact_cap
+        res = dict(grasp_batched(B=args.batch, compact_cap=cap,
                                  compact_block=args.compact_block,
                                  compact_levels=levels), **meta)
         with open(os.path.join(args.out, "grasp_batched.json"), "w") as f:
