@@ -137,3 +137,90 @@ def test_native_conic_matches_altro_on_rocket(rocket_window):
     Xn, Un = admm_conic.extract_traj(cp, jnp.asarray(nat_sol.x))
     np.testing.assert_allclose(altro_sol.X, Xn, atol=2e-3)
     np.testing.assert_allclose(altro_sol.U, Un, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Native knot-structured ADMM (knot_solver.cpp) — the timing-grade
+# OSQP/ECOS-role backend. Kept in algorithmic lockstep with
+# solver/knot_admm.py; these tests pin that equivalence.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def trot_qp():
+    from altro_tpu.models.quadruped import config, controller
+    from altro_tpu.solver import knot_admm
+
+    cfg = config.MPCConfig(linearized_friction=True)
+    prob, x_des = controller.build_mpc_problem(cfg)
+    base = controller.make_baseline_state("admm_qp", prob, cfg, x_des,
+                                          native=False)
+    return base
+
+
+def test_native_knot_matches_jax_iterations(trot_qp):
+    """The C solver is the same algorithm at the same rho: identical
+    iteration count (to the check cadence) and residual-level agreement on
+    the trot QP."""
+    from altro_tpu.native import qp as nqp
+    from altro_tpu.solver import knot_admm
+
+    jsol = knot_admm.solve(trot_qp, eps_abs=1e-4)
+    w = nqp.knot_setup(trot_qp.qp, rho=0.1)
+    # check at the Python CHUNK cadence so the stopping points coincide
+    nsol = w.solve(eps_abs=1e-4, check_every=25)
+    assert nsol.status == 1 and int(jsol.status) == 1
+    assert nsol.iterations == int(jsol.iterations)
+    # both stopped at the same tolerance on a strongly convex QP
+    np.testing.assert_allclose(np.asarray(jsol.U), nsol.U, atol=0.5,
+                               rtol=0.1)
+
+
+def test_native_knot_tight_solution_agreement(trot_qp):
+    """At tight tolerance both implementations converge to the same QP
+    optimum (unique for strongly convex QPs)."""
+    from altro_tpu.native import qp as nqp
+    from altro_tpu.solver import knot_admm
+
+    jsol = knot_admm.solve(trot_qp, eps_abs=1e-8, max_iter=20000)
+    w = nqp.knot_setup(trot_qp.qp, rho=0.1)
+    nsol = w.solve(eps_abs=1e-8, max_iter=20000)
+    assert nsol.status == 1 and int(jsol.status) == 1
+    np.testing.assert_allclose(np.asarray(jsol.U), nsol.U, atol=2e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jsol.X), nsol.X, atol=2e-5)
+
+
+def test_native_knot_update_and_warm_start(trot_qp):
+    """update() + warm solve: same optimum as a cold tight solve, fewer
+    iterations than the zero start (the OSQP warm_start=true pattern)."""
+    from altro_tpu.native import qp as nqp
+
+    w = nqp.knot_setup(trot_qp.qp, rho=0.1)
+    s0 = w.solve(eps_abs=1e-6, max_iter=20000)
+    assert s0.status == 1
+    w.update(trot_qp.qp)           # same values: refactor path exercised
+    s1 = w.solve(eps_abs=1e-6, warm=True, max_iter=20000)
+    assert s1.status == 1
+    assert s1.iterations <= 10     # warm start on the identical problem
+    # both iterates satisfy the 1e-6 relative criterion; on a ~130 N force
+    # scale that allows ~1e-4-level differences between stopping points
+    np.testing.assert_allclose(s0.U, s1.U, atol=1e-3)
+
+
+def test_native_knot_soc_blocks():
+    """SOC friction-cone variant (ECOS role) matches the JAX knot ADMM at
+    tight tolerance."""
+    from altro_tpu.models.quadruped import config, controller
+    from altro_tpu.native import qp as nqp
+    from altro_tpu.solver import knot_admm
+
+    cfg = config.MPCConfig(linearized_friction=False)
+    prob, x_des = controller.build_mpc_problem(cfg)
+    base = controller.make_baseline_state("admm_conic", prob, cfg, x_des,
+                                          native=False)
+    jsol = knot_admm.solve(base, eps_abs=1e-8, max_iter=30000)
+    w = nqp.knot_setup(base.qp, rho=0.1)
+    nsol = w.solve(eps_abs=1e-8, max_iter=30000)
+    assert nsol.status == 1 and int(jsol.status) == 1
+    np.testing.assert_allclose(np.asarray(jsol.U), nsol.U, atol=5e-4,
+                               rtol=1e-3)
