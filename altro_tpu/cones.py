@@ -74,21 +74,31 @@ def project_soc(z):
 def project_soc_jacobian(z):
     """Jacobian of ``project_soc`` at z, shape [..., p, p]. Branchless.
 
-    Boundary-case closed form (v, s, a = ||v||):
-      d proj_v / dv = ((a+s)/(2a)) I - (s/(2a^3)) v v^T
-      d proj_v / ds = v / (2a)
-      d proj_s / dv = v^T / (2a)
+    Boundary-case closed form with w = v/a (unit), a = ||v||:
+      d proj_v / dv = ((a+s)/(2a)) I - (s/(2a)) w w^T
+      d proj_v / ds = w / 2
+      d proj_s / dv = w^T / 2
       d proj_s / ds = 1/2
+
+    Every factor is a RATIO of same-scale quantities (the boundary branch
+    is selected only when a > |s|, so (a+s)/(2a) in (0,1) and s/(2a) in
+    (-1/2,1/2)). The earlier unnormalized form divided by a^3, which
+    UNDERFLOWS to 0 for denormal-scale near-apex residuals (a ~ 1e-116 in
+    f64 -> a^3 = 0 -> inf) — hit by quadruped swing-foot friction cones
+    whose carried controls decay to denormals over a closed loop, and the
+    inf then poisoned the whole AL expansion (solver NaN at iteration 1).
     """
     v, s, a, a_safe = _soc_parts(z)
     p = z.shape[-1]
     d = p - 1
     eye_d = jnp.eye(d, dtype=z.dtype)
 
-    vvT = v[..., :, None] * v[..., None, :]
+    w = v / a_safe[..., None]
+    wwT = w[..., :, None] * w[..., None, :]
     coef = (a + s) / (2.0 * a_safe)
-    Jvv = coef[..., None, None] * eye_d - (s / (2.0 * a_safe**3))[..., None, None] * vvT
-    Jvs = v / (2.0 * a_safe[..., None])  # [..., d]
+    Jvv = (coef[..., None, None] * eye_d
+           - (s / (2.0 * a_safe))[..., None, None] * wwT)
+    Jvs = w / 2.0  # [..., d]
 
     top = jnp.concatenate([Jvv, Jvs[..., :, None]], axis=-1)           # [..., d, p]
     bot = jnp.concatenate([Jvs, jnp.full_like(s[..., None], 0.5)], axis=-1)

@@ -119,3 +119,29 @@ def test_al_terms_structured_factored_soc_matches_dense():
     _, _, Hd = CN.al_terms(con, dual, X, U)
     lxx_dense = jnp.einsum("kpi,kpq,kqj->kij", Cx, Hd, Cx)
     np.testing.assert_allclose(lxx_fac, lxx_dense, atol=1e-9)
+
+
+def test_soc_jacobian_denormal_apex():
+    """Near-apex residuals at DENORMAL scale must not overflow the
+    boundary-branch Jacobian (the unnormalized form divided by a^3, which
+    underflows to 0 for a ~ 1e-116 and returned inf — hit by quadruped
+    swing-foot friction cones whose carried controls decay to denormals
+    over a closed loop; solver NaN'd at iteration 1 in f64)."""
+    for scale in (1e-116, 1e-300, 1e-40, 1e-20):
+        z = jnp.asarray([0.0, -scale, 0.0], jnp.float64)
+        J = cones.project_soc_jacobian(z)
+        assert bool(jnp.all(jnp.isfinite(J))), scale
+        zf = jnp.asarray([0.0, -1e-30, 0.0], jnp.float32)
+        Jf = cones.project_soc_jacobian(zf)
+        assert bool(jnp.all(jnp.isfinite(Jf)))
+    # exact apex stays the inside-branch identity
+    J0 = cones.project_soc_jacobian(jnp.zeros(3, jnp.float64))
+    assert bool(jnp.all(jnp.isfinite(J0)))
+    # boundary-branch values are unchanged at normal scales
+    z = jnp.asarray([0.3, -0.4, 0.2], jnp.float64)
+    J = cones.project_soc_jacobian(z)
+    eps = 1e-7
+    for i in range(3):
+        fd = (cones.project_soc(z.at[i].add(eps))
+              - cones.project_soc(z.at[i].add(-eps))) / (2 * eps)
+        np.testing.assert_allclose(J[:, i], fd, atol=1e-6)
