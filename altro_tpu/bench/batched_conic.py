@@ -135,23 +135,38 @@ def rocket_setup(dtype=None, N_mpc: int = 21, opts_override: dict = None,
     X_track, U_track = track
 
     prob_mpc = gen_tracking_mpc(prob, X_track, U_track, N_mpc, dt=0.05)
-    # warm-solve tuning (measured on TPU, B=1024: penalty_initial=1e3 /
-    # scaling=10 / reset each solve took 20.5 mean iters -> 8.3k solves/s;
-    # carrying converged penalties across solves with a taller initial cuts
-    # the WORST-lane iteration count — wall time follows the batch max;
-    # see tools/exp_conic_tune.py). iterations_inner=8 + reg_min=1.0 kill
-    # the straggler tail at its source (tools/exp_inner_cap.py): the old
-    # tail lanes spent a full 50-iteration inner phase chattering across
-    # the SOC projection kink with the violation already ~1e-4, plus ~8
-    # iterations re-climbing regularization from 1e-8 after a rejection.
-    # Inexact inner solves (cap 8) + a floor that makes the first rejection
-    # jump straight to working regularization cut the per-step lane-max
-    # from 100.8 to 26 iters with unchanged success/violation.
+    # Warm-solve tuning (measured on TPU, B=1024):
+    # - iterations_inner=8 + reg_min=1.0 kill the straggler tail at its
+    #   source (tools/exp_inner_cap.py): the old tail lanes spent a full
+    #   50-iteration inner phase chattering across the SOC projection kink
+    #   with the violation already ~1e-4, plus ~8 iterations re-climbing
+    #   regularization from 1e-8 after a rejection. Inexact inner solves
+    #   + a floor that makes the first rejection jump straight to working
+    #   regularization cut the per-step lane-max from 100.8 to 26 iters.
+    # - penalties RESET each solve at 1e2 (the reference's own pattern —
+    #   ALTRO.jl resets; run_simple_rocket.jl:121-129 uses reset @ 1e3).
+    #   Round 2 carried converged penalties (reset_penalties=False,
+    #   penalty_initial=1e4), which is 2.5x faster (mean 1.2 iters/solve)
+    #   but LOCKS the solution to the warm start: with stale rho up to 1e8
+    #   the warm start is feasible, one exact Newton step "converges", and
+    #   the controls sit max-err ~5 / cost +46% from the true optimum
+    #   (agreement_conic artifact; a cold f32 solve of the same instance
+    #   lands 1.5e-2 from it). The reset config measures err_U 0.47 vs the
+    #   1e-7 f64 truth — better than even the f64 closed loop at the
+    #   reference's loose tolerance (0.73, rocket_multibaseline.json).
+    # - iterations_outer=15: at 10, 1 lane in 10k ends mid-recovery from a
+    #   high-rho f32 transient and records a diverged NaN violation (the
+    #   same lane converges in 9 rounds bit-differently on CPU f32).
+    # - cost_tolerance=1e-5 (not 1e-4): at 1e-4, ~1 lane in 8 hundred
+    #   wanders through a high-rho transient to a REMOTE feasible point
+    #   and declares cost-convergence there (err_U up to 87 while viol
+    #   < 1e-4); 1e-5 forces it back (err max 0.33, median 3.4e-3) at
+    #   unchanged throughput (21.3k vs 21.0k uncompacted).
     okw = dict(
-        cost_tolerance=1e-4, gradient_tolerance=1e-6,
-        constraint_tolerance=1e-4, penalty_initial=1e4,
-        penalty_scaling=10.0, reset_duals=False, reset_penalties=False,
-        iterations_outer=10, iterations_inner=8, reg_min=1.0,
+        cost_tolerance=1e-5, gradient_tolerance=1e-6,
+        constraint_tolerance=1e-4, penalty_initial=1e2,
+        penalty_scaling=10.0, reset_duals=False, reset_penalties=True,
+        iterations_outer=15, iterations_inner=8, reg_min=1.0,
         early_exact_tol=1e-3)
     okw.update(opts_override or {})
     opts = at.SolverOptions(**okw)
@@ -229,9 +244,15 @@ def grasp_setup(dtype=None, N_mpc: int = 21, opts_override: dict = None,
                                 Rk=1.0, Qfk=10.0, dt=tf / (N - 1))
     prob_mpc = prob_mpc.replace(
         constraints=grasp.grasp_constraints(o, N_mpc, 0, dtype=dtype))
+    # penalty_initial=1e3 / scaling=10 dominates the round-2 1e4/100 on
+    # BOTH axes (TPU B=1024, T=8): 32.3k vs 10.0k solves/s uncompacted
+    # (per-step lane-max 23.8 vs 87.6 — the tall grasp straggler tail was
+    # mostly the penalty schedule) AND err_U 5.0e-3 / cost gap 4.6e-5 vs
+    # 0.90 / 1.92 against the 1e-7 f64 truth (agreement_conic pattern;
+    # /tmp-sweep provenance mirrored in tools/exp_inner_cap.py docstring).
     okw = dict(
         cost_tolerance=1e-4, constraint_tolerance=1e-4,
-        penalty_initial=1e4, penalty_scaling=100.0, reset_duals=False,
+        penalty_initial=1e3, penalty_scaling=10.0, reset_duals=False,
         iterations_inner=8, reg_min=1.0, early_exact_tol=1e-3)
     okw.update(opts_override or {})
     opts = at.SolverOptions(**okw)
@@ -280,19 +301,19 @@ def main():
     p.add_argument("--which", default="all",
                    choices=["all", "rocket", "grasp"])
     # default ON (-1 = per-family measured sweet spot on TPU v5e B=1024
-    # with the inner8/reg_min=1 tail fix): rocket cap=8 (lane-max 26 —
-    # 77.8k solves/s vs 38.8k at the old cap24/b256), grasp cap=12 (its
-    # tail is longer, lane-max 88 — 35.2k vs 20.1k; cap8 collapses to 10k
-    # there). Caps 6/10/16/24, block 256, and a second level all measured
-    # worse; see tools/exp_inner_cap.py provenance. 0 restores the plain
-    # vmapped step.
+    # with the inner8/reg_min=1 tail fix and the accurate penalty
+    # schedules): rocket cap=16/block=256 + (16,128) level (41.1k solves/s
+    # at T=10; lane-max 48.5), grasp cap=8/block=256 + (8,128) level
+    # (61.1k at T=8; lane-max 23.8 — caps 6/12 and single-level schedules
+    # measured worse). 0 restores the plain vmapped step.
     p.add_argument("--compact-cap", type=int,
                    default=int(os.environ.get("BENCH_COMPACT_CAP", -1)),
                    help="it_cap for device-side straggler compaction "
                         "(-1 = per-family default, 0 = plain vmapped step)")
     p.add_argument("--compact-block", type=int,
-                   default=int(os.environ.get("BENCH_COMPACT_BLOCK", 128)),
-                   help="compaction block size (multiple of 128)")
+                   default=int(os.environ.get("BENCH_COMPACT_BLOCK", -1)),
+                   help="compaction block size (multiple of 128; "
+                        "-1 = per-family default)")
     p.add_argument("--compact-levels",
                    default=os.environ.get("BENCH_COMPACT_LEVELS", ""),
                    help="extra nested compaction stages as "
@@ -319,18 +340,24 @@ def main():
                 "(levels are ignored by the plain vmapped step)")
     if args.which in ("all", "rocket"):
         print("== rocket_batched", flush=True)
-        cap = 8 if args.compact_cap == -1 else args.compact_cap
+        cap = 16 if args.compact_cap == -1 else args.compact_cap
+        blk = 256 if args.compact_block == -1 else args.compact_block
+        lv = (((16, 128),) if (args.compact_cap == -1 and not levels)
+              else levels)
         res = dict(rocket_batched(B=args.batch, compact_cap=cap,
-                                  compact_block=args.compact_block,
-                                  compact_levels=levels), **meta)
+                                  compact_block=blk,
+                                  compact_levels=lv), **meta)
         with open(os.path.join(args.out, "rocket_batched.json"), "w") as f:
             json.dump(res, f, indent=1)
     if args.which in ("all", "grasp"):
         print("== grasp_batched", flush=True)
-        cap = 12 if args.compact_cap == -1 else args.compact_cap
+        cap = 8 if args.compact_cap == -1 else args.compact_cap
+        blk = 256 if args.compact_block == -1 else args.compact_block
+        lv = (((8, 128),) if (args.compact_cap == -1 and not levels)
+              else levels)
         res = dict(grasp_batched(B=args.batch, compact_cap=cap,
-                                 compact_block=args.compact_block,
-                                 compact_levels=levels), **meta)
+                                 compact_block=blk,
+                                 compact_levels=lv), **meta)
         with open(os.path.join(args.out, "grasp_batched.json"), "w") as f:
             json.dump(res, f, indent=1)
 

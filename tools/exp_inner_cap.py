@@ -12,9 +12,12 @@ in two ways:
 
 So: cap the inner phase short (inexact AL — dual updates don't need an
 exactly-solved inner problem) and raise the reg floor so rejections recover
-in 1-2 iterations. This sweeps both knobs on the shipped rocket bench
+in 1-2 iterations. This sweeps both knobs on the round-2 rocket bench
 config (B=1024, compaction cap24/b256) and reports throughput + iteration
-stats + violation.
+stats + violation. Winner (inner8 + reg_min=1.0, lane-max 100.8 -> 26) is
+now baked into bench/batched_conic.rocket_setup/grasp_setup; note the
+configs below still carry round-2's penalty schedule, which round 3
+replaced after quality measurement (tools/exp_conic_quality.py).
 
 Run on TPU, serially: python -m tools.exp_inner_cap [--quick]
 """
