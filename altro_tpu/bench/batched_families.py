@@ -1,0 +1,215 @@
+"""Batched-TPU throughput for the remaining benchmark families.
+
+Rounds 1-3 established batched-TPU numbers for the random-linear flagship
+(bench.py) and the two conic benches (bench/batched_conic.py); this driver
+covers the last two families so every reference benchmark has a TPU
+solves/s artifact (VERDICT r2 item 8):
+
+- **flexsat**: the N=80 flexible-satellite regulator MPC
+  (flexible_sat_mpc.jl:242-308 — no window shifting; propagate + re-solve
+  with warm primals/duals) batched over process-noise scenarios.
+- **quadruped**: per-SOLVE throughput for the trot MPC at N=15, both
+  friction modes (linearized QP / SOC cones), batched over instances
+  sampled across the gait cycle (8 contact schedules x B/8 initial-state
+  perturbations) — the batched counterpart of the reference's per-solve
+  table (quadruped/plots/table.tex).
+
+Methodology matches bench.py: jitted vmapped step, host-driven pipelined
+pass for throughput, f32, matmul precision pinned inside the solver (and
+in the quadruped's device-side problem construction here).
+
+Run on TPU: ``python -m altro_tpu.bench.batched_families [--out results_tpu]``.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def flexsat_batched(B: int = 1024, T: int = 45):
+    """Batched flexsat regulator loop (flexible_sat_mpc.jl:242-308)."""
+    import altro_tpu as at
+    from altro_tpu.models import flexible_satellite as fs
+
+    dtype = jnp.float32
+    prob = fs.flexsat_problem(dtype=dtype)
+    opts = at.SolverOptions(
+        cost_tolerance=1e-4, constraint_tolerance=1e-4,
+        penalty_initial=100.0, penalty_scaling=100.0)
+    print("  cold solve (N=80, f32)...", flush=True)
+    sol0 = jax.jit(at.solve)(prob, opts)
+    jax.block_until_ready(sol0.X)
+    print(f"  cold: status={int(sol0.stats.status)}", flush=True)
+
+    def astep(carry, noise_i):
+        x0, U, duals = carry
+        x0n = prob.dynamics.step(x0, U[0], 0) + 2e-4 * noise_i
+        sol = at.solve(prob.replace(x0=x0n), opts, U0=U, duals=duals)
+        return ((x0n, sol.U, sol.duals),
+                (sol.stats.status, sol.stats.viol, sol.stats.iterations))
+
+    vstep = jax.jit(jax.vmap(astep))
+    rng = np.random.default_rng(0)
+    noise = jnp.asarray(rng.standard_normal((T, B, prob.n)), dtype)
+
+    def init_carry(_):
+        return (prob.x0, sol0.U, sol0.duals)
+
+    carry0 = jax.block_until_ready(
+        jax.jit(jax.vmap(init_carry))(jnp.arange(B)))
+    t0 = time.perf_counter()
+    carry, _ = vstep(carry0, noise[0])
+    jax.block_until_ready(carry[0])
+    compile_s = time.perf_counter() - t0
+
+    carry = carry0
+    stats = []
+    t0 = time.perf_counter()
+    for t in range(T):
+        carry, out = vstep(carry, noise[t])
+        stats.append(out)
+    jax.block_until_ready(carry[0])
+    dt = time.perf_counter() - t0
+    st = np.concatenate([np.asarray(s[0]) for s in stats])
+    vl = np.concatenate([np.asarray(s[1]) for s in stats])
+    it = np.concatenate([np.asarray(s[2]) for s in stats])
+    res = dict(label="flexsat_regulator_N80", batch=B, steps=T,
+               solves_per_s=round(B * T / dt, 1),
+               success_rate=float(st.mean()),
+               max_viol=float(np.nanmax(vl)),
+               mean_iters=float(it.mean()), wall_s=round(dt, 4),
+               compile_s=round(compile_s, 1))
+    print(f"  flexsat: {res['solves_per_s']:.0f} solves/s (B={B}, "
+          f"success {res['success_rate']:.4f}, iters {res['mean_iters']:.2f})",
+          flush=True)
+    return res
+
+
+def quadruped_batched(B: int = 1024, rounds: int = 10,
+                      linearized_friction: bool = True):
+    """Batched quadruped trot-MPC per-solve throughput (table.tex role).
+
+    Instances: 8 contact schedules sampled across one trot cycle x B/8
+    initial states (x_des + 2 cm / 0.05 rad-scale noise), solved from the
+    reference's warm start (gravity-distributing stance forces, zero
+    duals). Each timing round re-perturbs x0.
+    """
+    import altro_tpu as at
+    from altro_tpu.models.quadruped import config, controller, planner
+    from altro_tpu.models.quadruped.config import woofer as _w
+    from altro_tpu.models.quadruped.controller import (_linearized_problem,
+                                                       SPRUNG_MASS)
+    from altro_tpu.models.quadruped.gait import GAITS
+
+    dtype = jnp.float32
+    cfg = config.MPCConfig(linearized_friction=linearized_friction)
+    gait = GAITS[cfg.gait_type](cfg.stance_time, cfg.swing_time)
+    prob, x_des = controller.build_mpc_problem(cfg, dtype)
+    opts = at.SolverOptions(
+        cost_tolerance=1e-4, constraint_tolerance=1e-4,
+        penalty_initial=10.0, penalty_scaling=100.0)
+
+    n_sched = 8
+    cycle = cfg.stance_time + cfg.swing_time
+    feet0 = (x_des[0:3][None, :] + planner.nominal_foot_locations()
+             ).at[:, 2].set(_w.geometry.foot_radius).astype(dtype)
+    with jax.default_matmul_precision("highest"):
+        probs = []
+        for i in range(n_sched):
+            t = jnp.asarray(i * cycle / n_sched, dtype)
+            x_ref = jnp.tile(x_des, (cfg.N, 1))
+            contacts, foot_locs, _ = planner.foot_history(
+                t, x_ref, feet0, feet0, gait, x_des, cfg.N,
+                cfg.dynamics_discretization)
+            probs.append(_linearized_problem(
+                prob, x_des, x_ref, contacts, foot_locs,
+                cfg.dynamics_discretization))
+        prob_stack = jax.tree_util.tree_map(
+            lambda *ls: jnp.stack(ls), *probs)
+        # broadcast each schedule to B/n_sched lanes
+        reps = B // n_sched
+        prob_b = jax.tree_util.tree_map(
+            lambda a: jnp.repeat(a, reps, axis=0), prob_stack)
+
+    fz = SPRUNG_MASS * 9.81 / 4.0
+    u0 = jnp.zeros((cfg.N - 1, 12), dtype).at[:, 2::3].set(fz)
+
+    def solve_one(prob_k, x0):
+        p = prob_k.replace(x0=x0)
+        sol = at.solve(p, opts, U0=u0)
+        return sol.stats.status, sol.stats.viol, sol.stats.iterations
+
+    vsolve = jax.jit(jax.vmap(solve_one))
+
+    rng = np.random.default_rng(3)
+    scale = jnp.asarray(
+        [.02, .02, .02, .05, .05, .05, .02, .02, .02, .05, .05, .05], dtype)
+
+    def x0s():
+        return (x_des[None, :]
+                + jnp.asarray(rng.standard_normal((B, 12)), dtype) * scale)
+
+    out = vsolve(prob_b, x0s())
+    jax.block_until_ready(out[0])  # compile
+
+    stats = []
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        out = vsolve(prob_b, x0s())
+        stats.append(out)
+    jax.block_until_ready(out[0])
+    dt = time.perf_counter() - t0
+    st = np.concatenate([np.asarray(s[0]) for s in stats])
+    vl = np.concatenate([np.asarray(s[1]) for s in stats])
+    it = np.concatenate([np.asarray(s[2]) for s in stats])
+    mode = "qp" if linearized_friction else "socp"
+    res = dict(label=f"quadruped_trot_mpc_N15_{mode}", batch=B,
+               rounds=rounds, solves_per_s=round(B * rounds / dt, 1),
+               success_rate=float(st.mean()), max_viol=float(np.nanmax(vl)),
+               mean_iters=float(it.mean()), wall_s=round(dt, 4))
+    print(f"  quadruped[{mode}]: {res['solves_per_s']:.0f} solves/s "
+          f"(B={B}, success {res['success_rate']:.4f}, "
+          f"viol {res['max_viol']:.1e}, iters {res['mean_iters']:.2f})",
+          flush=True)
+    return res
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", default="results_tpu")
+    p.add_argument("--batch", type=int,
+                   default=int(os.environ.get("BENCH_BATCH", 1024)))
+    p.add_argument("--which", default="all",
+                   choices=["all", "flexsat", "quadruped"])
+    args = p.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    meta = dict(device=str(jax.devices()[0]), dtype="float32")
+    if args.which in ("all", "flexsat"):
+        print("== flexsat_batched", flush=True)
+        res = dict(flexsat_batched(B=args.batch), **meta)
+        with open(os.path.join(args.out, "flexsat_batched.json"), "w") as f:
+            json.dump(res, f, indent=1)
+    if args.which in ("all", "quadruped"):
+        print("== quadruped_batched", flush=True)
+        rows = {}
+        # B=512: at n=m=12 (vs the flagship's m=6) the lane-packed Pallas
+        # kernels' per-knot slabs exceed the 16M scoped-vmem limit at
+        # B=1024 (20.7M); 512 lanes fit and stay a multiple of 128
+        Bq = min(args.batch, 512)
+        for lin in (True, False):
+            r = quadruped_batched(B=Bq, linearized_friction=lin)
+            rows[r["label"]] = r
+        with open(os.path.join(args.out, "quadruped_batched.json"),
+                  "w") as f:
+            json.dump(dict(rows, **meta), f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
