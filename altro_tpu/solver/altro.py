@@ -645,7 +645,6 @@ def _loop_fns(prob: Problem, opts: SolverOptions, s0,
             import os as _os
             use_fused = (_os.environ.get("ALTRO_TPU_FUSED") == "1"
                          and isinstance(prob.dynamics, LTVDynamics)
-                         and not opts.parallel_riccati
                          and all(getattr(c, "is_affine", False)
                                  for c in prob.constraints))
             if use_fused:
@@ -670,13 +669,8 @@ def _loop_fns(prob: Problem, opts: SolverOptions, s0,
             else:
                 A, B, _ = prob.dynamics.linearize(X, U)
                 lx, lu, lxx, luu, lux = al_expansion(prob, duals, X, U)
-                if opts.parallel_riccati:
-                    from ..ops.parallel_riccati import parallel_backward_pass
-                    Knew, dff, dV1, dV2 = parallel_backward_pass(
-                        A, B, lx, lu, lxx, luu, lux, reg)
-                else:
-                    Knew, dff, dV1, dV2 = backward_pass(
-                        A, B, lx, lu, lxx, luu, lux, reg)
+                Knew, dff, dV1, dV2 = backward_pass(
+                    A, B, lx, lu, lxx, luu, lux, reg)
 
             # Gradient metric (parity with Altro's d-based gradient check).
             grad_new = jnp.max(

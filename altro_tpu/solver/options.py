@@ -55,16 +55,9 @@ class SolverOptions:
     reset_duals: bool = struct.field(pytree_node=False, default=False)
     reset_penalties: bool = struct.field(pytree_node=False, default=True)
 
-    # O(log N) associative-scan backward pass (ops/parallel_riccati.py) for
-    # long horizons; regularization folds into the control Hessian there.
-    # (The reference's `static_bp` StaticArrays toggle has no TPU analog —
-    # shapes are always static under XLA.)
-    # Off by default BY MEASUREMENT (results_tpu/parallel_riccati.json,
-    # v5e, n=12/m=6, B=128, dependency-chained timing): the Pallas
-    # lane-packed sequential kernel is nearly N-independent in wall time
-    # (3.2 -> 4.7 ms for N=101 -> 1001) while lax.associative_scan costs
-    # 179 -> 1858 ms — materializing the [N, n, n] composition elements at
-    # batch width swamps the O(log N) depth win at these block sizes. The
-    # option remains for CPU/large-n exploration and as the parity-tested
-    # reference implementation of the algorithm.
-    parallel_riccati: bool = struct.field(pytree_node=False, default=False)
+    # (An O(log N) associative-scan backward pass was built, measured, and
+    # DELETED in round 3 — it lost at every (N, B) incl. B=1/N=1001; the
+    # numbers live in results_tpu/parallel_riccati.json and the analysis in
+    # docs/DESIGN.md 'Parallel-in-time Riccati'. The reference's
+    # `static_bp` StaticArrays toggle has no TPU analog — shapes are
+    # always static under XLA.)
