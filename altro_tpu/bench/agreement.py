@@ -73,7 +73,10 @@ def phase1_tpu(out_npz: str, B: int = 1024):
             cost_tolerance=tol, gradient_tolerance=tol,
             constraint_tolerance=max(tol, 1e-5), penalty_initial=1e3,
             penalty_scaling=100.0, reset_duals=False,
-            iterations_linesearch=4, early_exact_tol=EARLY_TOL)
+            # L=2 ladder matches the bench.py flagship default (the LTI QP
+            # model is exact along the Newton step; step_overhead.json)
+            iterations_linesearch=int(os.environ.get("AGREEMENT_LS", "2")),
+            early_exact_tol=EARLY_TOL)
         step, init_carry = make_mpc_step(prob_mpc, opts, X_track, U_track)
         vstep = jax.jit(jax.vmap(step, in_axes=(0, 0)))
         carry = jax.block_until_ready(

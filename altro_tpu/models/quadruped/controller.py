@@ -486,6 +486,11 @@ def simulate_host(cfg: MPCConfig, opts: SolverOptions, tf: float = 2.0,
     t_w = jnp.asarray(0.0, dtype)
     jax.block_until_ready(jmpc(state0, baseline0, t_w)[0].x)
     jax.block_until_ready(jticks(state0, t_w))
+    if native_mode:
+        # the warm-up just SOLVED the t=0 instance; drop its converged
+        # iterate (keep the adapted rho — the setup-once carryover) so the
+        # first timed solve isn't a warm resume of an identical instance
+        baseline0.reset_iterate()
 
     state, baseline = state0, baseline0
     xs, forces, iters_l, status_l, mpc_ms, tick_ms = [], [], [], [], [], []

@@ -758,6 +758,7 @@ int altro_tpu_knot_solve(void* h, double eps_abs, double eps_rel,
 
   double rp = 1e30, rd = 1e30;
   int it = 0;
+  int last_adapt = 0;  // iteration of the last adaptive-rho evaluation
   bool done = false;
 
   while (it < max_iter && !done) {
@@ -881,10 +882,15 @@ int altro_tpu_knot_solve(void* h, double eps_abs, double eps_rel,
 
     done = (rp < eps_abs + eps_rel * sp) && (rd < eps_abs + eps_rel * sd);
     if (done) break;
-    if (it % 25 != 0) continue;  // adapt at the Python CHUNK cadence —
-                                 // a mid-solve refactor is ~0.2 ms, so
+    if (it - last_adapt < 25) continue;  // adapt at most every 25 iters
+                                 // (the Python CHUNK=25 cadence) measured
+                                 // from the LAST adaptation, so the cadence
+                                 // holds for any check_every (it%25 only
+                                 // fired when check_every divides 25); a
+                                 // mid-solve refactor is ~0.2 ms, so
                                  // evaluating adaptation every check is
                                  // a net loss
+    last_adapt = it;
 
     // ---- OSQP-style adaptive rho (scaled relative residuals) -------------
     scaled_matvec(*w, wv.data(), azd, azx, azb);
@@ -950,6 +956,15 @@ int altro_tpu_knot_solve(void* h, double eps_abs, double eps_rel,
   w->ws_yb = yblk;
   w->has_iterate = true;
   return done ? 1 : 0;
+}
+
+void altro_tpu_knot_reset_iterate(void* h) {
+  // Drop the stored warm-start iterate (solve(warm=true) falls back to a
+  // zero start) while KEEPING the adapted rho and its factorization — the
+  // setup-once pattern's legitimate carryover. Used by timing harnesses to
+  // discard a compile-warm-up solve's converged iterate so the first timed
+  // solve isn't flattered by resuming an identical, already-solved instance.
+  static_cast<Work*>(h)->has_iterate = false;
 }
 
 void altro_tpu_knot_free(void* h) { delete static_cast<Work*>(h); }

@@ -105,6 +105,8 @@ def _load():
         ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, dp, dp, ip, dp, dp,
     ]
+    lib.altro_tpu_knot_reset_iterate.restype = None
+    lib.altro_tpu_knot_reset_iterate.argtypes = [ctypes.c_void_p]
     lib.altro_tpu_knot_free.restype = None
     lib.altro_tpu_knot_free.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -229,6 +231,14 @@ class NativeKnotWork:
             self._h, *(arr.ctypes.data_as(dp) for arr in a))
         if ret != 0:
             raise RuntimeError("native knot ADMM: refactor failed")
+
+    def reset_iterate(self) -> None:
+        """Drop the stored warm-start iterate (next ``solve(warm=True)``
+        zero-starts) while keeping the adapted rho + factorization. Timing
+        harnesses call this after a compile warm-up solve so the first
+        timed solve doesn't resume the converged iterate of an identical
+        instance."""
+        _lib.altro_tpu_knot_reset_iterate(self._h)
 
     def solve(self, eps_abs: float = 1e-5, eps_rel: Optional[float] = None,
               max_iter: int = 4000, check_every: int = 5,

@@ -558,8 +558,23 @@ def loop_fns(prob: Problem, opts: SolverOptions, s0,
     diagnostics: scanning ``body`` a fixed number of times and recording the
     state per iteration yields a convergence trace (tools/exp_tail_diag.py).
     ``body`` freezes a lane once its own ``cond`` is false, so over-scanning
-    past convergence is a no-op (the compaction resume relies on this)."""
-    return _loop_fns(prob, opts, s0, it_cap)
+    past convergence is a no-op (the compaction resume relies on this).
+
+    The returned functions pin matmul precision to "highest" at their own
+    trace time (like :func:`solve`/:func:`solve_partial`), so callers on
+    TPU can trace them directly without hitting the default-bf16
+    phantom-diff trap CLAUDE.md documents."""
+    cond, body = _loop_fns(prob, opts, s0, it_cap)
+
+    def cond_pinned(s):
+        with jax.default_matmul_precision("highest"):
+            return cond(s)
+
+    def body_pinned(s):
+        with jax.default_matmul_precision("highest"):
+            return body(s)
+
+    return cond_pinned, body_pinned
 
 
 def _flat_while(prob: Problem, opts: SolverOptions, s0,
