@@ -19,7 +19,8 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = (os.path.join(_DIR, "qp_solver.cpp"),
-         os.path.join(_DIR, "knot_solver.cpp"))
+         os.path.join(_DIR, "knot_solver.cpp"),
+         os.path.join(_DIR, "ilqr_solver.cpp"))
 _lib = None
 _build_error: Optional[str] = None
 
@@ -109,6 +110,22 @@ def _load():
     lib.altro_tpu_knot_reset_iterate.argtypes = [ctypes.c_void_p]
     lib.altro_tpu_knot_free.restype = None
     lib.altro_tpu_knot_free.argtypes = [ctypes.c_void_p]
+    lib.altro_tpu_ilqr_setup.restype = ctypes.c_void_p
+    lib.altro_tpu_ilqr_setup.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ip, ip,
+        dp, dp, dp, dp, dp, dp, dp, dp, dp, dp, dp, dp, dp, dp,
+    ]
+    lib.altro_tpu_ilqr_update.restype = ctypes.c_int
+    lib.altro_tpu_ilqr_update.argtypes = [
+        ctypes.c_void_p, dp, dp, dp, dp, dp, dp, dp, dp, dp, dp, dp, dp, dp,
+    ]
+    lib.altro_tpu_ilqr_solve.restype = ctypes.c_int
+    lib.altro_tpu_ilqr_solve.argtypes = [
+        ctypes.c_void_p, dp, ip, dp, dp, dp, dp, dp, dp,
+        ip, ip, dp, dp,
+    ]
+    lib.altro_tpu_ilqr_free.restype = None
+    lib.altro_tpu_ilqr_free.argtypes = [ctypes.c_void_p]
     _lib = lib
 
 
@@ -320,3 +337,154 @@ def knot_setup(kqp, rho: float = 0.1, ruiz_iters: int = 10
     if not h:
         raise RuntimeError("native knot ADMM: setup factorization failed")
     return NativeKnotWork(h, (N, n, m), tuple(str(cn) for cn in cones))
+
+
+# ----------------------------------------------------------------------------
+# Native AL-iLQR (ilqr_solver.cpp) — CPU-latency twin of solver/altro.py
+# ----------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class NativeIlqrSolution:
+    X: np.ndarray
+    U: np.ndarray
+    lam: np.ndarray          # [N, ptot] concatenated block multipliers
+    iterations: int
+    outer_iterations: int
+    viol: float
+    gradient: float
+    status: int              # 1 converged
+
+
+def _ilqr_opts_arrays(opts) -> Tuple[np.ndarray, np.ndarray]:
+    """SolverOptions -> the (double[14], int[5]) ABI option blocks."""
+    od = np.ascontiguousarray([
+        float(opts.cost_tolerance), float(opts.gradient_tolerance),
+        float(opts.constraint_tolerance), float(opts.penalty_initial),
+        float(opts.penalty_scaling), float(opts.penalty_max),
+        float(opts.reg_initial), float(opts.reg_min), float(opts.reg_max),
+        float(opts.reg_increase), float(opts.reg_decrease),
+        float(opts.ls_decrease), float(opts.ls_min_ratio),
+        float(opts.early_exact_tol)], np.float64)
+    oi = np.ascontiguousarray([
+        int(opts.iterations_outer), int(opts.iterations_inner),
+        int(opts.iterations_linesearch), 1 if opts.reset_duals else 0,
+        1 if opts.reset_penalties else 0], np.int32)
+    return od, oi
+
+
+def _ilqr_prob_arrays(prob):
+    """Problem -> the 14 contiguous f64 value buffers of the iLQR ABI."""
+    c = lambda a: np.ascontiguousarray(a, np.float64)  # noqa: E731
+    cost, dyn = prob.cost, prob.dynamics
+    Cx = (np.concatenate([c(b.Cx).reshape(-1) for b in prob.constraints])
+          if prob.constraints else np.zeros(0))
+    Cu = (np.concatenate([c(b.Cu).reshape(-1) for b in prob.constraints])
+          if prob.constraints else np.zeros(0))
+    cb = (np.concatenate([c(b.b).reshape(-1) for b in prob.constraints])
+          if prob.constraints else np.zeros(0))
+    mask = (np.concatenate([c(b.mask).reshape(-1)
+                            for b in prob.constraints])
+            if prob.constraints else np.zeros(0))
+    return (c(cost.Q), c(cost.q), c(cost.R), c(cost.r), c(cost.H),
+            c(cost.c), c(dyn.A), c(dyn.B), c(dyn.d), c(prob.x0),
+            c(Cx), c(Cu), c(cb), c(mask))
+
+
+class NativeIlqrWork:
+    """Workspace for the native AL-iLQR (ilqr_solver.cpp): the CPU-latency
+    counterpart of :func:`altro_tpu.solve` for LTV problems with affine
+    conic blocks — the role Altro.jl's compiled native solver plays in the
+    reference's single-core latency numbers (figures/horizon_comp.tikz;
+    ``benchmark_solve!`` times ``solve!`` only, random_linear_problem.jl:161).
+
+    Pattern: ``setup`` once (structure fixed), ``update`` problem values per
+    MPC step, ``solve`` with warm primal/dual starts. The solve's iterate
+    sequence mirrors solver/altro.py's flat AL+iLQR loop (cross-checked by
+    tests/test_native_ilqr.py).
+    """
+
+    def __init__(self, handle, dims, ptot):
+        self._h = handle
+        self.N, self.n, self.m = dims
+        self.ptot = ptot
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h and _lib is not None:
+            _lib.altro_tpu_ilqr_free(h)
+            self._h = None
+
+    def update(self, prob) -> None:
+        a = _ilqr_prob_arrays(prob)
+        dp = ctypes.POINTER(ctypes.c_double)
+        # mask is structural (fixed at setup); update passes values only
+        ret = _lib.altro_tpu_ilqr_update(
+            self._h, *(arr.ctypes.data_as(dp) for arr in a[:13]))
+        if ret != 0:
+            raise RuntimeError("native iLQR: update failed")
+
+    def solve(self, opts, U0=None, lam0=None, X0=None) -> NativeIlqrSolution:
+        N, n, m = self.N, self.n, self.m
+        od, oi = _ilqr_opts_arrays(opts)
+        X = np.zeros((N, n))
+        U = np.zeros((N - 1, m))
+        lam = np.zeros((N, max(self.ptot, 1)))
+        dp = ctypes.POINTER(ctypes.c_double)
+        ip = ctypes.POINTER(ctypes.c_int)
+
+        def opt(arr):
+            if arr is None:
+                return ctypes.cast(None, dp)
+            a = np.ascontiguousarray(arr, np.float64)
+            self._keep = getattr(self, "_keep", []) or []
+            self._keep.append(a)  # keep alive through the call
+            return a.ctypes.data_as(dp)
+
+        self._keep = []
+        iters = ctypes.c_int(0)
+        rounds = ctypes.c_int(0)
+        viol = ctypes.c_double(0)
+        grad = ctypes.c_double(0)
+        ret = _lib.altro_tpu_ilqr_solve(
+            self._h, od.ctypes.data_as(dp), oi.ctypes.data_as(ip),
+            opt(U0), opt(lam0), opt(X0), X.ctypes.data_as(dp),
+            U.ctypes.data_as(dp), lam.ctypes.data_as(dp),
+            ctypes.byref(iters), ctypes.byref(rounds), ctypes.byref(viol),
+            ctypes.byref(grad))
+        self._keep = []
+        return NativeIlqrSolution(X=X, U=U, lam=lam,
+                                  iterations=iters.value,
+                                  outer_iterations=rounds.value,
+                                  viol=viol.value, gradient=grad.value,
+                                  status=ret)
+
+
+def ilqr_setup(prob) -> NativeIlqrWork:
+    """Build a native AL-iLQR workspace from an
+    :class:`altro_tpu.problem.Problem` with LTV dynamics and affine
+    :class:`~altro_tpu.constraints.ConicConstraint` blocks."""
+    _load()
+    if _lib is None:
+        raise RuntimeError(f"native iLQR unavailable: {_build_error}")
+    from ..dynamics import LTVDynamics
+
+    if not isinstance(prob.dynamics, LTVDynamics):
+        raise TypeError("native iLQR requires LTVDynamics")
+    for b in prob.constraints:
+        if not getattr(b, "is_affine", False):
+            raise TypeError("native iLQR requires affine constraint blocks")
+    N, n, m = prob.N, prob.n, prob.m
+    p_blk = np.ascontiguousarray([int(b.p) for b in prob.constraints],
+                                 np.int32)
+    cone_blk = np.ascontiguousarray(
+        [_CONE_CODE[str(b.cone)] for b in prob.constraints], np.int32)
+    a = _ilqr_prob_arrays(prob)
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int)
+    h = _lib.altro_tpu_ilqr_setup(
+        N, n, m, len(p_blk), p_blk.ctypes.data_as(ip),
+        cone_blk.ctypes.data_as(ip),
+        *(arr.ctypes.data_as(dp) for arr in a))
+    if not h:
+        raise RuntimeError("native iLQR: setup failed")
+    return NativeIlqrWork(h, (N, n, m), int(p_blk.sum()))

@@ -30,6 +30,41 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE_BLOCK = 1024  # scenarios per block: 8 sublanes x 128 lanes
 
+# Per-kernel scoped-VMEM budget for picking the lane-block width. The chip
+# limit is 16M; the pipeline double-buffers streamed inputs/outputs, so the
+# estimate is 2*(inputs+outputs) + scratch per block, with every block's
+# second-to-last dim padded to the f32 sublane tile of 8 (callers pass
+# padded per-lane float counts via :func:`pad8`). 10M leaves headroom for
+# what the model still misses — measured: the n=m=12 quadruped config
+# overflows the limit at blk=1024 and fits at 512.
+VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def pad8(x: int) -> int:
+    """f32 sublane padding: a block's second-to-last dim occupies a multiple
+    of 8 rows in VMEM."""
+    return (x + 7) // 8 * 8
+
+
+def pick_lane_block(batch: int, in_out_floats: int, scratch_floats: int,
+                    itemsize: int = 4) -> int:
+    """Largest lane-block width (multiple of 128, dividing ``batch``) whose
+    double-buffered per-grid-step VMEM footprint fits the budget.
+
+    ``in_out_floats``/``scratch_floats`` are per-lane float counts of the
+    streamed blocks and the carry scratch (sublane-padded; see :func:`pad8`).
+    Large state/control dims (the quadruped's n=m=12) overflow the 16M
+    scoped-vmem limit at blk=1024; halving the block (the grid's batch
+    dimension gains a step) trades a little pipeline overhead for fitting —
+    B=1024 then runs as 2x512 blocks instead of failing to compile."""
+    blk = min(LANE_BLOCK, batch)
+    while blk > 128:
+        bytes_est = itemsize * blk * (2 * in_out_floats + scratch_floats)
+        if bytes_est <= VMEM_BUDGET_BYTES and batch % blk == 0:
+            break
+        blk //= 2
+    return blk
+
 
 def riccati_supported(n: int, m: int, batch: int) -> bool:
     """Kernel applicability: small dims, batch divisible into lane blocks."""
@@ -167,7 +202,12 @@ def batched_riccati(A, B, lx, lu, lxx, luu, lux, reg,
     """
     Bt, N1, n, _ = A.shape
     m = B.shape[-1]
-    blk = min(LANE_BLOCK, Bt)
+    # streamed floats/lane (sublane-padded): A, B, lx-pair, lu, lxx-pair,
+    # luu, lux, reg in; K, d, dV out. scratch: Vx, Vxx, dV accumulators.
+    pn, pm = pad8(n), pad8(m)
+    in_out = (n * pn + n * pm + 2 * pn + pm + 2 * n * pn + m * pm + m * pn
+              + 8 + m * pn + pm + 8)
+    blk = pick_lane_block(Bt, in_out, pn + n * pn + 8)
     assert Bt % blk == 0, (Bt, blk)
     nb = Bt // blk
     dtype = A.dtype

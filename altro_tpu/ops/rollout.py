@@ -79,7 +79,12 @@ def batched_ls_rollout(A, B, dd, Xbar, Ubar, K, d, alphas) -> Tuple:
     m = B.shape[-1]
     alphas_tuple = tuple(float(a) for a in alphas)
     L = len(alphas_tuple)
-    blk = min(LANE_BLOCK, Bt)
+    from .riccati import pad8, pick_lane_block
+    # streamed floats/lane (sublane-padded): A, B, dd, xbar, ubar, K, d in;
+    # X, U (L-ladder) out. scratch: the L-ladder state carry.
+    pn, pm = pad8(n), pad8(m)
+    in_out = (n * pn + n * pm + 2 * pn + pm + m * pn + pm + L * (pn + pm))
+    blk = pick_lane_block(Bt, in_out, L * pn)
     assert Bt % blk == 0
     nb = Bt // blk
     dtype = A.dtype

@@ -24,11 +24,22 @@ reference benchmark (run_random_linear.jl:48) and is not replicated.
 from __future__ import annotations
 
 import functools
+import os as _os_mod
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import struct
+
+
+def _scan_unroll() -> int:
+    """Horizon-scan unroll factor, read at TRACE time (env knob
+    ALTRO_TPU_UNROLL). Unrolling the backward/rollout scans turns the
+    per-knot XLA:CPU dispatch chain into straight-line code — the
+    single-instance CPU latency lever (the knot ADMM's UNROLL=16 bought 3x
+    there; TPU programs keep the rolled scan: the Pallas kernels bypass
+    these scans entirely and unrolling only bloats remote compiles)."""
+    return int(_os_mod.environ.get("ALTRO_TPU_UNROLL", "1"))
 
 from ..constraints import (ConicConstraint, DualState, al_cost, al_terms,
                            al_terms_structured)
@@ -219,7 +230,8 @@ def _backward_pass_scan(A, B, lx, lu, lxx, luu, lux, reg):
     zero = jnp.zeros((), A.dtype)
     xs = (A, B, lx[:-1], lu[:-1], lxx[:-1], luu[:-1], lux[:-1])
     (Vx, Vxx, dV1, dV2), (K, d) = jax.lax.scan(
-        body, (VxT, VxxT, zero, zero), xs, reverse=True)
+        body, (VxT, VxxT, zero, zero), xs, reverse=True,
+        unroll=_scan_unroll())
     return K, d, dV1, dV2
 
 
@@ -361,7 +373,8 @@ def _ls_rollouts_fn(alphas: tuple):
                 return x1, (x, u)
 
             xN, (Xh, U) = jax.lax.scan(
-                body, Xb[0], (Xb[:-1], Ub, K, dff, A, B, dd))
+                body, Xb[0], (Xb[:-1], Ub, K, dff, A, B, dd),
+                unroll=_scan_unroll())
             return jnp.concatenate([Xh, xN[None]], axis=0), U
 
         return jax.vmap(one)(alphas_arr)
@@ -429,7 +442,7 @@ def rollout_closed_loop(dynamics, Xbar, Ubar, K, d, alpha):
             x1 = dynamics.step(x, u, k)
             return x1, (x, u)
 
-    xN, (Xh, U) = jax.lax.scan(body, Xbar[0], xs)
+    xN, (Xh, U) = jax.lax.scan(body, Xbar[0], xs, unroll=_scan_unroll())
     X = jnp.concatenate([Xh, xN[None]], axis=0)
     return X, U
 
