@@ -50,6 +50,10 @@ import numpy as np
 
 SAMPLE = 16
 T_STEPS = 10
+# window indices where lanes are sampled against the f64 truth. Round 3
+# checked ONE step (the last); a warm-lock failure mode can hide in
+# unsampled steps, so the gate now spans early/mid/late windows.
+CHECK_STEPS = (4, 7, 10)
 B_DEFAULT = 1024
 
 FAMILIES = ("rocket", "grasp")
@@ -97,14 +101,15 @@ def phase1_tpu(out_npz: str, B: int = B_DEFAULT):
                 jnp.float32)
             carry = jax.block_until_ready(
                 jax.jit(jax.vmap(lambda _: init_carry()))(jnp.arange(B)))
+            idx = np.linspace(0, B - 1, SAMPLE).astype(int)
+            key = f"{family}_{cname}"
             for t in range(T_STEPS):
                 carry, out = vstep(carry, noise[t],
                                    jnp.asarray(t, jnp.int32))
+                if (t + 1) in CHECK_STEPS:  # solve used window k = t+1
+                    save[f"{key}_k{t + 1}_x0"] = np.asarray(out.x0)[idx]
+                    save[f"{key}_k{t + 1}_U"] = np.asarray(out.U)[idx]
             jax.block_until_ready(carry)
-            idx = np.linspace(0, B - 1, SAMPLE).astype(int)
-            key = f"{family}_{cname}"
-            save[f"{key}_x0"] = np.asarray(out.x0)[idx]
-            save[f"{key}_U"] = np.asarray(out.U)[idx]
             save[f"{key}_status"] = np.asarray(out.status)
             save[f"{key}_viol"] = np.asarray(out.viol)
             print(f"phase1 {key}: success "
@@ -128,8 +133,8 @@ def phase2_cpu(in_npz: str, out_json: str):
     from altro_tpu.transcribe import to_batch_conic
 
     data = np.load(in_npz)
-    k = int(data["k"])
-    res = dict(config=dict(sample=SAMPLE, steps=T_STEPS, window_k=k,
+    res = dict(config=dict(sample=SAMPLE, steps=T_STEPS,
+                           window_ks=list(CHECK_STEPS),
                            truth_tol=1e-7, native_tol=1e-9,
                            tight_config=TIGHT),
                families={})
@@ -139,25 +144,27 @@ def phase2_cpu(in_npz: str, out_json: str):
         su = _setup(family, jnp.float64, track=track)
         prob_mpc = su["prob_mpc"]
         N_mpc = prob_mpc.N
-        Xw, Uw = track_window(track[0], track[1], k, N_mpc)
-        cost_k = retarget_tracking(prob_mpc.cost, Xw, Uw)
-        prob_base = prob_mpc.replace(cost=cost_k)
-        if su["constraints_fn"] is not None:
-            prob_base = prob_base.replace(
-                constraints=su["constraints_fn"](k))
         opts_truth = at.SolverOptions(
             cost_tolerance=1e-7, gradient_tolerance=1e-9,
             constraint_tolerance=1e-7, penalty_initial=1e3,
             penalty_scaling=10.0, iterations_outer=40,
             iterations_inner=100)
 
-        def solve_truth(x0, U0, prob_base=prob_base, opts=opts_truth):
-            sol = at.solve(prob_base.replace(x0=x0), opts, U0=U0)
+        def prob_at(k):
+            Xw, Uw = track_window(track[0], track[1], k, N_mpc)
+            pb = prob_mpc.replace(
+                cost=retarget_tracking(prob_mpc.cost, Xw, Uw))
+            if su["constraints_fn"] is not None:
+                pb = pb.replace(constraints=su["constraints_fn"](k))
+            return pb
+
+        def solve_truth(pb, x0, U0, opts=opts_truth):
+            sol = at.solve(pb.replace(x0=x0), opts, U0=U0)
             return sol.U, sol.stats.status
 
-        def traj_cost(x0, U, prob_base=prob_base):
-            X = prob_base.dynamics.rollout(x0, U)
-            return prob_base.cost.total(X, U)
+        def traj_cost(pb, x0, U):
+            X = pb.dynamics.rollout(x0, U)
+            return pb.cost.total(X, U)
 
         jtruth = jax.jit(solve_truth)
         jcost = jax.jit(traj_cost)
@@ -165,29 +172,32 @@ def phase2_cpu(in_npz: str, out_json: str):
         fam_row = {}
         for cname, _ov in CONFIGS:
             key = f"{family}_{cname}"
-            x0s, U_tpu = data[f"{key}_x0"], data[f"{key}_U"]
             errs, gaps, stts, stns, d_nat = [], [], [], [], []
-            for i in range(SAMPLE):
-                x0 = jnp.asarray(x0s[i], jnp.float64)
-                U_t = jnp.asarray(U_tpu[i], jnp.float64)
-                U_truth, st = jtruth(x0, U_t)
-                stts.append(int(st))
-                errs.append(float(np.max(np.abs(U_tpu[i] -
-                                                np.asarray(U_truth)))))
-                J_tpu = float(jcost(x0, U_t))
-                J_tr = float(jcost(x0, U_truth))
-                gaps.append((J_tpu - J_tr) / max(abs(J_tr), 1e-12))
-                if cname == "tight":
-                    cdata = to_batch_conic(prob_base.replace(x0=x0))
-                    nat = native.solve_conic(
-                        np.asarray(cdata.P), np.asarray(cdata.q),
-                        np.asarray(cdata.A), np.asarray(cdata.b),
-                        cdata.segments, eps_abs=1e-9, max_iter=300000)
-                    stns.append(int(nat.status))
-                    _, U_nat = admm_conic.extract_traj(
-                        cdata, jnp.asarray(nat.x))
-                    d_nat.append(float(np.max(np.abs(
-                        np.asarray(U_truth) - np.asarray(U_nat)))))
+            for k in CHECK_STEPS:
+                prob_base = prob_at(k)
+                x0s = data[f"{key}_k{k}_x0"]
+                U_tpu = data[f"{key}_k{k}_U"]
+                for i in range(SAMPLE):
+                    x0 = jnp.asarray(x0s[i], jnp.float64)
+                    U_t = jnp.asarray(U_tpu[i], jnp.float64)
+                    U_truth, st = jtruth(prob_base, x0, U_t)
+                    stts.append(int(st))
+                    errs.append(float(np.max(np.abs(
+                        U_tpu[i] - np.asarray(U_truth)))))
+                    J_tpu = float(jcost(prob_base, x0, U_t))
+                    J_tr = float(jcost(prob_base, x0, U_truth))
+                    gaps.append((J_tpu - J_tr) / max(abs(J_tr), 1e-12))
+                    if cname == "tight" and k == CHECK_STEPS[-1]:
+                        cdata = to_batch_conic(prob_base.replace(x0=x0))
+                        nat = native.solve_conic(
+                            np.asarray(cdata.P), np.asarray(cdata.q),
+                            np.asarray(cdata.A), np.asarray(cdata.b),
+                            cdata.segments, eps_abs=1e-9, max_iter=300000)
+                        stns.append(int(nat.status))
+                        _, U_nat = admm_conic.extract_traj(
+                            cdata, jnp.asarray(nat.x))
+                        d_nat.append(float(np.max(np.abs(
+                            np.asarray(U_truth) - np.asarray(U_nat)))))
             row = dict(
                 tpu_success_rate=float(np.mean(data[f"{key}_status"])),
                 tpu_max_viol=float(np.max(data[f"{key}_viol"])),
@@ -201,7 +211,8 @@ def phase2_cpu(in_npz: str, out_json: str):
                 row["native_success"] = int(min(stns))
             fam_row[cname] = row
             print(f"phase2 {key}: err_U {row['err_U_max']:.2e} "
-                  f"cost_gap {row['cost_rel_gap_max']:.2e}", flush=True)
+                  f"cost_gap {row['cost_rel_gap_max']:.2e} "
+                  f"(over k={list(CHECK_STEPS)})", flush=True)
         res["families"][family] = fam_row
 
     os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)

@@ -162,12 +162,21 @@ def rocket_setup(dtype=None, N_mpc: int = 21, opts_override: dict = None,
     #   and declares cost-convergence there (err_U up to 87 while viol
     #   < 1e-4); 1e-5 forces it back (err max 0.33, median 3.4e-3) at
     #   unchanged throughput (21.3k vs 21.0k uncompacted).
+    # iterations_linesearch=2 (round 4): the conic iteration was dominated
+    # by the UNTUNED L=10 ladder (rollouts 0.289 + AL-cost evals 0.437 of
+    # the 0.968 ms iteration, results_tpu/conic_attribution.json); the
+    # L-sweep (tools/exp_conic_tune_r4.py, results_tpu/conic_tune_r4_*.json)
+    # measures 35.5k -> 76.0k solves/s at L=11 -> 2 with mean iters DOWN
+    # 9.2 -> 6.9 (a no-rung-accepted round advances the penalty schedule
+    # instead of accepting a deep-backtracked micro-step) and the
+    # agreement_conic quality gate unchanged. Step chaining adds nothing
+    # here (the compacted step's phases already amortize dispatch).
     okw = dict(
         cost_tolerance=1e-5, gradient_tolerance=1e-6,
         constraint_tolerance=1e-4, penalty_initial=1e2,
         penalty_scaling=10.0, reset_duals=False, reset_penalties=True,
         iterations_outer=15, iterations_inner=8, reg_min=1.0,
-        early_exact_tol=1e-3)
+        early_exact_tol=1e-3, iterations_linesearch=2)
     okw.update(opts_override or {})
     opts = at.SolverOptions(**okw)
     from altro_tpu.models import rocket as _rocket
@@ -250,10 +259,14 @@ def grasp_setup(dtype=None, N_mpc: int = 21, opts_override: dict = None,
     # mostly the penalty schedule) AND err_U 5.0e-3 / cost gap 4.6e-5 vs
     # 0.90 / 1.92 against the 1e-7 f64 truth (agreement_conic pattern;
     # /tmp-sweep provenance mirrored in tools/exp_inner_cap.py docstring).
+    # iterations_linesearch=2: 55.7k -> 95.9k solves/s at L=11 -> 2 with
+    # mean iters 4.28 -> 4.03 (same L-sweep provenance as rocket_setup;
+    # results_tpu/conic_tune_r4_grasp.json), quality gate unchanged.
     okw = dict(
         cost_tolerance=1e-4, constraint_tolerance=1e-4,
         penalty_initial=1e3, penalty_scaling=10.0, reset_duals=False,
-        iterations_inner=8, reg_min=1.0, early_exact_tol=1e-3)
+        iterations_inner=8, reg_min=1.0, early_exact_tol=1e-3,
+        iterations_linesearch=2)
     okw.update(opts_override or {})
     opts = at.SolverOptions(**okw)
     fn = lambda k: grasp.grasp_constraints(o, N_mpc, k, dtype=dtype)

@@ -671,23 +671,34 @@ def quadruped_benchmark(tf: float = 2.0, dtype=jnp.float64):
                                        dtype=dtype)
         status = np.asarray(res["status"])
         mpc_ms = np.asarray(res["mpc_ms"])
+        prep_ms = np.asarray(res["prep_ms"])
         rows[name] = dict(
+            # solver-internal wall — the reference table's accounting
+            # (stats.tsolve / info.solve_time; see simulate_host docstring)
             ms_per_solve=float(np.mean(mpc_ms)),
             ms_per_solve_std=float(np.std(mpc_ms)),
+            # everything else in the MPC period (relinearize, transcribe,
+            # workspace update+refactor) — untimed by the reference
+            ms_prep=float(np.mean(prep_ms)),
+            ms_per_solve_total=float(np.mean(mpc_ms) + np.mean(prep_ms)),
             ms_per_period_sim=float(np.mean(res["tick_ms"])),
             mean_iters=float(np.mean(np.asarray(res["iters"]))),
             success=float(status.mean()),
-            mpc_ms=mpc_ms.tolist())
+            mpc_ms=mpc_ms.tolist(),
+            prep_ms=prep_ms.tolist())
         print(f"  {name}: {rows[name]['ms_per_solve']:.3f} ± "
-              f"{rows[name]['ms_per_solve_std']:.3f} ms/solve, "
+              f"{rows[name]['ms_per_solve_std']:.3f} ms/solve "
+              f"(+{rows[name]['ms_prep']:.3f} prep), "
               f"{rows[name]['mean_iters']:.1f} iters "
               f"(success {rows[name]['success']:.2f})", flush=True)
 
     # results table (plots/create_figures.jl + table.tex analog)
-    lines = ["| configuration | ms/solve | σ | success |", "|---|---|---|---|"]
+    lines = ["| configuration | ms/solve | σ | +prep | success |",
+             "|---|---|---|---|---|"]
     for k, v in rows.items():
         lines.append(f"| {k} | {v['ms_per_solve']:.3f} | "
-                     f"{v['ms_per_solve_std']:.3f} | {v['success']:.2f} |")
+                     f"{v['ms_per_solve_std']:.3f} | {v['ms_prep']:.3f} | "
+                     f"{v['success']:.2f} |")
     rows["table_md"] = "\n".join(lines)
     print("\n".join(lines), flush=True)
     return rows

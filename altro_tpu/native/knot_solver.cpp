@@ -245,16 +245,21 @@ void build_scaled(Work& w) {
 }
 
 // ---- banded KKT assembly + factor (Python _assemble_banded/_banded_cholesky)
-bool factorize(Work& w, double rho) {
+// Generalized over per-(knot,row) constraint weights so the same machinery
+// factors both the ADMM KKT (uniform per-block rho) and the polish system
+// (high penalty on ACTIVE rows only, zero on inactive).
+bool band_factor(const Work& w, const double* wrow /*[N, pk]*/,
+                 double rho_eq, std::vector<double>& Linv,
+                 std::vector<double>& LinvT, std::vector<double>& F,
+                 std::vector<double>& FT, double sigma = SIGMA) {
   const int N = w.N, n = w.n, s = w.s, pk = w.pk;
-  const double rho_eq = rho * RHO_EQ_SCALE;
   std::vector<double> diag((size_t)N * s * s, 0.0);
-  w.F.assign((size_t)(N - 1) * s * s, 0.0);
+  F.assign((size_t)(N - 1) * s * s, 0.0);
 
   for (int k = 0; k < N; ++k) {
     double* Dk = &diag[(size_t)k * s * s];
     std::memcpy(Dk, &w.Ps[(size_t)k * s * s], sizeof(double) * s * s);
-    for (int i = 0; i < s; ++i) Dk[i * s + i] += SIGMA;
+    for (int i = 0; i < s; ++i) Dk[i * s + i] += sigma;
   }
   for (int k = 0; k < N - 1; ++k) {
     const double* Jk = &w.Js[(size_t)k * n * s];
@@ -268,7 +273,7 @@ bool factorize(Work& w, double rho) {
         if (j != i) Dk[j * s + i] = Dk[i * s + j];
       }
     double* Dk1 = &diag[(size_t)(k + 1) * s * s];
-    double* Fk = &w.F[(size_t)k * s * s];
+    double* Fk = &F[(size_t)k * s * s];
     for (int i = 0; i < n; ++i) {
       const double S = w.Ss[(size_t)k * n + i];
       Dk1[i * s + i] += rho_eq * S * S;
@@ -280,34 +285,32 @@ bool factorize(Work& w, double rho) {
     diag[i * s + i] += rho_eq * w.x0s[i] * w.x0s[i];
   for (int k = 0; k < N; ++k) {
     double* Dk = &diag[(size_t)k * s * s];
-    for (int b = 0; b < w.nblk; ++b) {
-      const double rho_b = w.eq[b] ? rho_eq : rho;
-      for (int i = 0; i < w.p[b]; ++i) {
-        const double* row =
-            &w.Cs[((size_t)k * pk + w.roff[b] + i) * s];
-        for (int a = 0; a < s; ++a) {
-          const double ra = row[a];
-          if (ra == 0.0) continue;
-          const double wra = rho_b * ra;
-          for (int c = a; c < s; ++c) Dk[a * s + c] += wra * row[c];
-        }
+    for (int i = 0; i < pk; ++i) {
+      const double rho_b = wrow[(size_t)k * pk + i];
+      if (rho_b == 0.0) continue;
+      const double* row = &w.Cs[((size_t)k * pk + i) * s];
+      for (int a = 0; a < s; ++a) {
+        const double ra = row[a];
+        if (ra == 0.0) continue;
+        const double wra = rho_b * ra;
+        for (int c = a; c < s; ++c) Dk[a * s + c] += wra * row[c];
       }
     }
     for (int a = 0; a < s; ++a)   // symmetrize the rank-1 accumulation
       for (int c = a + 1; c < s; ++c) Dk[c * s + a] = Dk[a * s + c];
   }
 
-  w.Linv.assign((size_t)N * s * s, 0.0);
-  w.LinvT.assign((size_t)N * s * s, 0.0);
-  w.FT.assign((size_t)(N - 1) * s * s, 0.0);
+  Linv.assign((size_t)N * s * s, 0.0);
+  LinvT.assign((size_t)N * s * s, 0.0);
+  FT.assign((size_t)(N - 1) * s * s, 0.0);
   std::vector<double> Lk_buf((size_t)s * s), col(s);
 
   // chol + inverse of one block; writes Linv/LinvT slots k
   auto chol_invert = [&](int k, const double* Dk) -> bool {
     std::memcpy(Lk_buf.data(), Dk, sizeof(double) * s * s);
     if (!cholesky(Lk_buf.data(), s)) return false;
-    double* Li = &w.Linv[(size_t)k * s * s];
-    double* LiT = &w.LinvT[(size_t)k * s * s];
+    double* Li = &Linv[(size_t)k * s * s];
+    double* LiT = &LinvT[(size_t)k * s * s];
     for (int j = 0; j < s; ++j) {       // solve L x = e_j
       for (int i = 0; i < s; ++i) col[i] = (i == j) ? 1.0 : 0.0;
       solve_lower(Lk_buf.data(), col.data(), s);
@@ -321,9 +324,9 @@ bool factorize(Work& w, double rho) {
 
   if (!chol_invert(0, &diag[0])) return false;
   for (int k = 1; k < N; ++k) {
-    double* Fk = &w.F[(size_t)(k - 1) * s * s];
-    double* FTk = &w.FT[(size_t)(k - 1) * s * s];
-    const double* LiP = &w.Linv[(size_t)(k - 1) * s * s];
+    double* Fk = &F[(size_t)(k - 1) * s * s];
+    double* FTk = &FT[(size_t)(k - 1) * s * s];
+    const double* LiP = &Linv[(size_t)(k - 1) * s * s];
     // F_k = C_k L_{k-1}^{-T}: F[i,j] = sum_t C[i,t] Linv[j,t] (row-dot-row)
     std::vector<double> Crow(s);
     for (int i = 0; i < s; ++i) {
@@ -347,6 +350,19 @@ bool factorize(Work& w, double rho) {
       }
     if (!chol_invert(k, Dk)) return false;
   }
+  return true;
+}
+
+bool factorize(Work& w, double rho) {
+  const int pk = w.pk;
+  const double rho_eq = rho * RHO_EQ_SCALE;
+  std::vector<double> wrow((size_t)w.N * pk);
+  for (int k = 0; k < w.N; ++k)
+    for (int b = 0; b < w.nblk; ++b)
+      for (int i = 0; i < w.p[b]; ++i)
+        wrow[(size_t)k * pk + w.roff[b] + i] = w.eq[b] ? rho_eq : rho;
+  if (!band_factor(w, wrow.data(), rho_eq, w.Linv, w.LinvT, w.F, w.FT))
+    return false;
   w.rho = rho;
   w.rho_row.resize(pk);
   for (int b = 0; b < w.nblk; ++b)
@@ -355,31 +371,120 @@ bool factorize(Work& w, double rho) {
   return true;
 }
 
-// Solve K v = b in place; b is [N, s]. Pure gemvs against the
-// materialized L^{-1} / L^{-T} / F / F^T blocks.
-void banded_solve(const Work& w, double* b, double* tmp) {
-  const int N = w.N, s = w.s;
-  gemv(&w.Linv[0], b, tmp, s, s);
+// Solve K v = b in place against a materialized factor; b is [N, s].
+void banded_solve_f(int N, int s, const std::vector<double>& Linv,
+                    const std::vector<double>& LinvT,
+                    const std::vector<double>& F,
+                    const std::vector<double>& FT, double* b, double* tmp) {
+  gemv(&Linv[0], b, tmp, s, s);
   std::memcpy(b, tmp, sizeof(double) * s);
   for (int k = 1; k < N; ++k) {
-    const double* Fk = &w.F[(size_t)(k - 1) * s * s];
+    const double* Fk = &F[(size_t)(k - 1) * s * s];
     double* bk = b + (size_t)k * s;
     gemv(Fk, b + (size_t)(k - 1) * s, tmp, s, s);   // F_k z_{k-1}
     for (int i = 0; i < s; ++i) tmp[i] = bk[i] - tmp[i];
-    gemv(&w.Linv[(size_t)k * s * s], tmp, bk, s, s);
+    gemv(&Linv[(size_t)k * s * s], tmp, bk, s, s);
   }
   {
     double* bN = b + (size_t)(N - 1) * s;
-    gemv(&w.LinvT[(size_t)(N - 1) * s * s], bN, tmp, s, s);
+    gemv(&LinvT[(size_t)(N - 1) * s * s], bN, tmp, s, s);
     std::memcpy(bN, tmp, sizeof(double) * s);
   }
   for (int k = N - 2; k >= 0; --k) {
-    const double* FTk = &w.FT[(size_t)k * s * s];
+    const double* FTk = &FT[(size_t)k * s * s];
     double* bk = b + (size_t)k * s;
     gemv(FTk, b + (size_t)(k + 1) * s, tmp, s, s);  // F_{k+1}^T w_{k+1}
     for (int i = 0; i < s; ++i) tmp[i] = bk[i] - tmp[i];
-    gemv(&w.LinvT[(size_t)k * s * s], tmp, bk, s, s);
+    gemv(&LinvT[(size_t)k * s * s], tmp, bk, s, s);
   }
+}
+
+inline void banded_solve(const Work& w, double* b, double* tmp) {
+  banded_solve_f(w.N, w.s, w.Linv, w.LinvT, w.F, w.FT, b, tmp);
+}
+
+// ---- unscaled residuals (Python unscaled_residuals) -----------------------
+// rp/rd are the unscaled primal/dual residual inf-norms; sp/sd the OSQP
+// relative-termination scales. Shared by the ADMM termination check and the
+// polish accept test. The dummy terminal control rows are excluded from
+// rd (Python measures Pu/AtU on [:-1] only) but still enter sd.
+void unscaled_residuals(Work& w, const double* wv, const double* zdyn,
+                        const double* zx0, const double* zblk,
+                        const double* ydyn, const double* yx0,
+                        const double* yblk, double* tmp, double* rp_out,
+                        double* rd_out, double* sp_out, double* sd_out) {
+  const int N = w.N, n = w.n, s = w.s, pk = w.pk;
+  double sp = 0.0, sd = 0.0, rp = 0.0, rd = 0.0;
+  double* wu = w.sc_wu.data();   // unscaled iterate
+  double* pw = w.sc_pw.data();   // P wu + q (unscaled)
+  double* at = w.sc_at.data();   // A' y (unscaled)
+  for (size_t i = 0; i < (size_t)N * s; ++i) wu[i] = w.Dw[i] * wv[i];
+  for (int k = 0; k < N - 1; ++k) {
+    gemv(&w.J[(size_t)k * n * s], wu + (size_t)k * s, tmp, n, s);
+    const double* wx1 = wu + (size_t)(k + 1) * s;
+    for (int i = 0; i < n; ++i) {
+      const double dyn_u = tmp[i] - wx1[i];
+      const double zu = zdyn[(size_t)k * n + i] / w.Edyn[(size_t)k * n + i];
+      rp = dmax(rp, std::fabs(dyn_u - zu));
+      sp = dmax(sp, dmax(std::fabs(dyn_u), std::fabs(zu)));
+    }
+  }
+  for (int i = 0; i < n; ++i) {
+    const double zu = zx0[i] / w.Ex0[i];
+    rp = dmax(rp, std::fabs(wu[i] - zu));
+    sp = dmax(sp, dmax(std::fabs(wu[i]), std::fabs(zu)));
+  }
+  for (int k = 0; k < N; ++k)
+    for (int i = 0; i < pk; ++i) {
+      const size_t vi = (size_t)k * pk + i;
+      double row_u = 0.0;
+      const double* row = &w.C[vi * s];
+      const double* wk = wu + (size_t)k * s;
+      for (int j = 0; j < s; ++j) row_u += row[j] * wk[j];
+      const double gu = zblk[vi] / w.Ec[vi];
+      rp = dmax(rp, std::fabs(row_u - gu));
+      sp = dmax(sp, dmax(std::fabs(row_u), std::fabs(gu)));
+    }
+  for (int k = 0; k < N; ++k) {
+    gemv(&w.P[(size_t)k * s * s], wu + (size_t)k * s, pw + (size_t)k * s, s,
+         s);
+    for (int i = 0; i < s; ++i)
+      pw[(size_t)k * s + i] += w.qv[(size_t)k * s + i];
+  }
+  std::memset(at, 0, sizeof(double) * (size_t)N * s);
+  for (int k = 0; k < N - 1; ++k)
+    for (int i = 0; i < n; ++i) {
+      const double yd = (w.Edyn[(size_t)k * n + i] / w.csc) *
+                        ydyn[(size_t)k * n + i];
+      const double* Jr = &w.J[((size_t)k * n + i) * s];
+      double* gk = at + (size_t)k * s;
+      for (int j = 0; j < s; ++j) gk[j] += Jr[j] * yd;
+      at[(size_t)(k + 1) * s + i] -= yd;
+    }
+  for (int i = 0; i < n; ++i) at[i] += (w.Ex0[i] / w.csc) * yx0[i];
+  for (int k = 0; k < N; ++k)
+    for (int i = 0; i < pk; ++i) {
+      const size_t vi = (size_t)k * pk + i;
+      const double gs = (w.Ec[vi] / w.csc) * yblk[vi];
+      if (gs == 0.0) continue;
+      const double* row = &w.C[vi * s];
+      double* gk = at + (size_t)k * s;
+      for (int j = 0; j < s; ++j) gk[j] += row[j] * gs;
+    }
+  for (int k = 0; k < N; ++k)
+    for (int i = 0; i < s; ++i) {
+      const size_t vi = (size_t)k * s + i;
+      const bool dummy_u = (k == N - 1 && i >= n);
+      if (!dummy_u) {
+        rd = dmax(rd, std::fabs(pw[vi] + at[vi]));
+        sd = dmax(sd, std::fabs(pw[vi]));
+      }
+      sd = dmax(sd, std::fabs(at[vi]));
+    }
+  *rp_out = rp;
+  *rd_out = rd;
+  *sp_out = sp;
+  *sd_out = sd;
 }
 
 // scaled A v: dyn rows, x0 row, constraint rows (Python matvec); v is [N, s]
@@ -431,6 +536,225 @@ void proj_blocks(const Work& w, double* zblk) {
         }
       }
     }
+}
+
+// ---- L-only banded factor (polish path) ------------------------------------
+// Same block-tridiagonal Cholesky as band_factor but stores the raw L_k
+// blocks and F_k = C_k L_{k-1}^{-T} WITHOUT materializing inverses: the
+// polish does only ~3 solves per MPC step, so the inversion's extra ~2 s^3
+// per knot (worth it for the ADMM's ~50 gemv-based solves) is pure waste
+// here. Solves use triangular substitution.
+bool band_factor_chol(const Work& w, const double* wrow, double rho_eq,
+                      std::vector<double>& Lb, std::vector<double>& Fb) {
+  const int N = w.N, n = w.n, s = w.s, pk = w.pk;
+  std::vector<double> diag((size_t)N * s * s, 0.0);
+  Fb.assign((size_t)(N - 1) * s * s, 0.0);
+  Lb.assign((size_t)N * s * s, 0.0);
+
+  for (int k = 0; k < N; ++k) {
+    double* Dk = &diag[(size_t)k * s * s];
+    std::memcpy(Dk, &w.Ps[(size_t)k * s * s], sizeof(double) * s * s);
+    for (int i = 0; i < s; ++i) Dk[i * s + i] += SIGMA;
+  }
+  for (int k = 0; k < N - 1; ++k) {
+    const double* Jk = &w.Js[(size_t)k * n * s];
+    double* Dk = &diag[(size_t)k * s * s];
+    for (int i = 0; i < s; ++i)
+      for (int j = i; j < s; ++j) {
+        double acc = 0.0;
+        for (int rr = 0; rr < n; ++rr)
+          acc += Jk[(size_t)rr * s + i] * Jk[(size_t)rr * s + j];
+        Dk[i * s + j] += rho_eq * acc;
+        if (j != i) Dk[j * s + i] = Dk[i * s + j];
+      }
+    double* Dk1 = &diag[(size_t)(k + 1) * s * s];
+    double* Fk = &Fb[(size_t)k * s * s];
+    for (int i = 0; i < n; ++i) {
+      const double S = w.Ss[(size_t)k * n + i];
+      Dk1[i * s + i] += rho_eq * S * S;
+      for (int j = 0; j < s; ++j)
+        Fk[i * s + j] = -rho_eq * S * Jk[(size_t)i * s + j];
+    }
+  }
+  for (int i = 0; i < n; ++i)
+    diag[i * s + i] += rho_eq * w.x0s[i] * w.x0s[i];
+  for (int k = 0; k < N; ++k) {
+    double* Dk = &diag[(size_t)k * s * s];
+    for (int i = 0; i < pk; ++i) {
+      const double rho_b = wrow[(size_t)k * pk + i];
+      if (rho_b == 0.0) continue;
+      const double* row = &w.Cs[((size_t)k * pk + i) * s];
+      for (int a = 0; a < s; ++a) {
+        const double ra = row[a];
+        if (ra == 0.0) continue;
+        const double wra = rho_b * ra;
+        for (int c = a; c < s; ++c) Dk[a * s + c] += wra * row[c];
+      }
+    }
+    for (int a = 0; a < s; ++a)
+      for (int c = a + 1; c < s; ++c) Dk[c * s + a] = Dk[a * s + c];
+  }
+
+  // chol D_0 -> L_0; for k: F_k rows = L_{k-1}^{-1} (rows of the coupling
+  // block), D_k -= F_k F_k^T, chol -> L_k
+  std::memcpy(&Lb[0], &diag[0], sizeof(double) * s * s);
+  if (!cholesky(&Lb[0], s)) return false;
+  for (int k = 1; k < N; ++k) {
+    double* Fk = &Fb[(size_t)(k - 1) * s * s];
+    const double* Lp = &Lb[(size_t)(k - 1) * s * s];
+    for (int i = 0; i < s; ++i)  // row i of F = L^{-1} (row i of coupling)
+      solve_lower(Lp, Fk + (size_t)i * s, s);
+    double* Dk = &diag[(size_t)k * s * s];
+    for (int i = 0; i < s; ++i)
+      for (int j = 0; j <= i; ++j) {
+        double acc = 0.0;
+        for (int t = 0; t < s; ++t)
+          acc += Fk[(size_t)i * s + t] * Fk[(size_t)j * s + t];
+        Dk[i * s + j] -= acc;
+        if (j != i) Dk[j * s + i] = Dk[i * s + j];
+      }
+    std::memcpy(&Lb[(size_t)k * s * s], Dk, sizeof(double) * s * s);
+    if (!cholesky(&Lb[(size_t)k * s * s], s)) return false;
+  }
+  return true;
+}
+
+void banded_solve_chol(int N, int s, const std::vector<double>& Lb,
+                       const std::vector<double>& Fb, double* b,
+                       double* tmp) {
+  solve_lower(&Lb[0], b, s);
+  for (int k = 1; k < N; ++k) {
+    const double* Fk = &Fb[(size_t)(k - 1) * s * s];
+    double* bk = b + (size_t)k * s;
+    gemv(Fk, b + (size_t)(k - 1) * s, tmp, s, s);
+    for (int i = 0; i < s; ++i) bk[i] -= tmp[i];
+    solve_lower(&Lb[(size_t)k * s * s], bk, s);
+  }
+  solve_lower_t(&Lb[(size_t)(N - 1) * s * s], b + (size_t)(N - 1) * s, s);
+  for (int k = N - 2; k >= 0; --k) {
+    double* bk = b + (size_t)k * s;
+    const double* Fk1 = &Fb[(size_t)k * s * s];
+    // bk -= F_{k+1}^T b_{k+1}
+    std::memset(tmp, 0, sizeof(double) * s);
+    gemv_t_acc(Fk1, b + (size_t)(k + 1) * s, tmp, s, s);
+    for (int i = 0; i < s; ++i) bk[i] -= tmp[i];
+    solve_lower_t(&Lb[(size_t)k * s * s], bk, s);
+  }
+}
+
+// ---- OSQP-style solution polish --------------------------------------------
+// After the ADMM terminates, solve the ACTIVE-SET equality QP exactly:
+// rows where the splitting variable sits on a bound with the right dual
+// sign (plus all equality rows, dynamics and x0) become hard equalities;
+// inactive rows are dropped. The reduced system is solved with the same
+// banded machinery at a high penalty (rho_p) with a few augmented-
+// Lagrangian refinement passes — each pass contracts the constraint
+// residual by ~1/rho_p, so three passes reach f64 roundoff. Accepted only
+// if BOTH unscaled residuals improve and the dropped rows stay feasible
+// (wrong active set -> reject, keep the ADMM iterate), which is OSQP's
+// "polish succeeded" criterion (osqp/src/polish.c behavior; the reference
+// runs stock OSQP, OSQPParams.jl:127-128).
+// Returns 1 if the polished solution was adopted.
+int polish_solution(Work& w, std::vector<double>& wv,
+                    std::vector<double>& zdyn, std::vector<double>& zx0,
+                    std::vector<double>& zblk, std::vector<double>& ydyn,
+                    std::vector<double>& yx0, std::vector<double>& yblk,
+                    double* rp_io, double* rd_io) {
+  const int N = w.N, n = w.n, s = w.s, pk = w.pk;
+  for (int b = 0; b < w.nblk; ++b)
+    if (w.cone[b] == CONE_SOC) return 0;  // box/equality rows only
+
+  const double RHO_P = 1e6;
+  std::vector<double> wrow((size_t)N * pk, 0.0);
+  std::vector<double> tgt((size_t)N * pk, 0.0);
+  int n_active = 0;
+  for (int k = 0; k < N; ++k)
+    for (int b = 0; b < w.nblk; ++b)
+      for (int i = 0; i < w.p[b]; ++i) {
+        const size_t vi = (size_t)k * pk + w.roff[b] + i;
+        const double lo = w.lb[vi], up = w.ub[vi];
+        const double z = zblk[vi], y = yblk[vi];
+        bool act = false;
+        double t = 0.0;
+        if (w.eq[b] || lo == up) {
+          act = true;
+          t = up;
+        } else if (std::isfinite(lo) && std::fabs(z - lo) <= 1e-10 &&
+                   y < 0.0) {
+          act = true;
+          t = lo;
+        } else if (std::isfinite(up) && std::fabs(z - up) <= 1e-10 &&
+                   y > 0.0) {
+          act = true;
+          t = up;
+        }
+        if (act) {
+          wrow[vi] = RHO_P;
+          tgt[vi] = t;
+          ++n_active;
+        }
+      }
+
+  std::vector<double> Lb, Fb;
+  if (!band_factor_chol(w, wrow.data(), RHO_P, Lb, Fb)) return 0;
+
+  const int zd = (N - 1) * n;
+  std::vector<double> wp(wv), yd((size_t)zd, 0.0), yx(n, 0.0),
+      yb((size_t)N * pk, 0.0);
+  std::vector<double> b((size_t)N * s), g((size_t)N * s), tmp(s);
+  std::vector<double> rzd(zd), rzx(n), rzb((size_t)N * pk);
+  std::vector<double> azd(zd), azx(n), azb((size_t)N * pk);
+  // 2 AL passes at RHO_P=1e6 on equilibrated data leave the active-row
+  // residual at ~1e-12 relative — the third pass measured as pure overhead
+  for (int pass = 0; pass < 2; ++pass) {
+    for (int i = 0; i < zd; ++i) rzd[i] = RHO_P * w.ld[i] - yd[i];
+    for (int i = 0; i < n; ++i) rzx[i] = RHO_P * w.lx0[i] - yx[i];
+    for (size_t i = 0; i < (size_t)N * pk; ++i)
+      rzb[i] = wrow[i] > 0.0 ? RHO_P * tgt[i] - yb[i] : 0.0;
+    scaled_rmatvec(w, rzd.data(), rzx.data(), rzb.data(), g.data());
+    for (size_t i = 0; i < (size_t)N * s; ++i)
+      b[i] = SIGMA * wp[i] - w.qs[i] + g[i];
+    banded_solve_chol(N, s, Lb, Fb, b.data(), tmp.data());
+    std::swap(wp, b);
+    scaled_matvec(w, wp.data(), azd.data(), azx.data(), azb.data());
+    for (int i = 0; i < zd; ++i) yd[i] += RHO_P * (azd[i] - w.ld[i]);
+    for (int i = 0; i < n; ++i) yx[i] += RHO_P * (azx[i] - w.lx0[i]);
+    for (size_t i = 0; i < (size_t)N * pk; ++i)
+      if (wrow[i] > 0.0) yb[i] += RHO_P * (azb[i] - tgt[i]);
+  }
+
+  // inactive rows must remain feasible (allow the pre-polish residual as
+  // slack — the ADMM iterate itself was that loose)
+  const double slack = dmax(*rp_io, 1e-9);
+  std::vector<double> zb_p((size_t)N * pk);
+  for (size_t i = 0; i < (size_t)N * pk; ++i) {
+    if (wrow[i] > 0.0) {
+      zb_p[i] = tgt[i];
+    } else {
+      if (azb[i] < w.lb[i] - slack || azb[i] > w.ub[i] + slack) return 0;
+      double v = azb[i];
+      if (v < w.lb[i]) v = w.lb[i];
+      if (v > w.ub[i]) v = w.ub[i];
+      zb_p[i] = v;
+    }
+  }
+
+  double rp_p, rd_p, sp_p, sd_p;
+  unscaled_residuals(w, wp.data(), w.ld.data(), w.lx0.data(), zb_p.data(),
+                     yd.data(), yx.data(), yb.data(), tmp.data(), &rp_p,
+                     &rd_p, &sp_p, &sd_p);
+  if (rp_p > *rp_io || rd_p > *rd_io) return 0;
+
+  wv = wp;
+  std::memcpy(zdyn.data(), w.ld.data(), sizeof(double) * zd);
+  std::memcpy(zx0.data(), w.lx0.data(), sizeof(double) * n);
+  zblk = zb_p;
+  ydyn = yd;
+  yx0 = yx;
+  yblk = yb;
+  *rp_io = rp_p;
+  *rd_io = rd_p;
+  return 1;
 }
 
 }  // namespace
@@ -724,8 +1048,9 @@ int altro_tpu_knot_update(void* h, const double* Q, const double* q,
 
 int altro_tpu_knot_solve(void* h, double eps_abs, double eps_rel,
                          int max_iter, int check_every, int warm,
-                         double* X_out, double* U_out, int* iters_out,
-                         double* rprim_out, double* rdual_out) {
+                         int do_polish, double* X_out, double* U_out,
+                         int* iters_out, double* rprim_out,
+                         double* rdual_out) {
   Work* w = static_cast<Work*>(h);
   const int N = w->N, n = w->n, m = w->m, s = w->s, pk = w->pk;
   const int zd = (N - 1) * n, zbn = w->zb;
@@ -807,78 +1132,10 @@ int altro_tpu_knot_solve(void* h, double eps_abs, double eps_rel,
 
     if (it % check_every != 0 && it != max_iter) continue;
 
-    // ---- unscaled residual check (Python unscaled_residuals) -------------
     double sp = 0.0, sd = 0.0;
-    rp = 0.0;
-    rd = 0.0;
-    double* wu = w->sc_wu.data();   // unscaled iterate
-    double* pw = w->sc_pw.data();   // P wu + q (unscaled)
-    double* at = w->sc_at.data();   // A' y (unscaled)
-    for (size_t i = 0; i < (size_t)N * s; ++i) wu[i] = w->Dw[i] * wv[i];
-    for (int k = 0; k < N - 1; ++k) {
-      gemv(&w->J[(size_t)k * n * s], wu + (size_t)k * s, tmp, n, s);
-      const double* wx1 = wu + (size_t)(k + 1) * s;
-      for (int i = 0; i < n; ++i) {
-        const double dyn_u = tmp[i] - wx1[i];
-        const double zu = zdyn[(size_t)k * n + i] / w->Edyn[(size_t)k * n + i];
-        rp = dmax(rp, std::fabs(dyn_u - zu));
-        sp = dmax(sp, dmax(std::fabs(dyn_u), std::fabs(zu)));
-      }
-    }
-    for (int i = 0; i < n; ++i) {
-      const double zu = zx0[i] / w->Ex0[i];
-      rp = dmax(rp, std::fabs(wu[i] - zu));
-      sp = dmax(sp, dmax(std::fabs(wu[i]), std::fabs(zu)));
-    }
-    for (int k = 0; k < N; ++k)
-      for (int i = 0; i < pk; ++i) {
-        const size_t vi = (size_t)k * pk + i;
-        double row_u = 0.0;
-        const double* row = &w->C[vi * s];
-        const double* wk = wu + (size_t)k * s;
-        for (int j = 0; j < s; ++j) row_u += row[j] * wk[j];
-        const double gu = zblk[vi] / w->Ec[vi];
-        rp = dmax(rp, std::fabs(row_u - gu));
-        sp = dmax(sp, dmax(std::fabs(row_u), std::fabs(gu)));
-      }
-    // dual: P w + q + A' y unscaled. The dummy terminal control rows are
-    // excluded (Python measures Pu/AtU on [:-1] only) — but AtU's terminal
-    // rows still enter the scale sd, mirrored here.
-    for (int k = 0; k < N; ++k) {
-      gemv(&w->P[(size_t)k * s * s], wu + (size_t)k * s,
-           pw + (size_t)k * s, s, s);
-      for (int i = 0; i < s; ++i) pw[(size_t)k * s + i] += w->qv[(size_t)k * s + i];
-    }
-    std::memset(at, 0, sizeof(double) * (size_t)N * s);
-    for (int k = 0; k < N - 1; ++k)
-      for (int i = 0; i < n; ++i) {
-        const double yd = (w->Edyn[(size_t)k * n + i] / w->csc) *
-                          ydyn[(size_t)k * n + i];
-        const double* Jr = &w->J[((size_t)k * n + i) * s];
-        double* gk = at + (size_t)k * s;
-        for (int j = 0; j < s; ++j) gk[j] += Jr[j] * yd;
-        at[(size_t)(k + 1) * s + i] -= yd;
-      }
-    for (int i = 0; i < n; ++i) at[i] += (w->Ex0[i] / w->csc) * yx0[i];
-    for (int k = 0; k < N; ++k)
-      for (int i = 0; i < pk; ++i) {
-        const size_t vi = (size_t)k * pk + i;
-        const double gs = (w->Ec[vi] / w->csc) * yblk[vi];
-        if (gs == 0.0) continue;
-        const double* row = &w->C[vi * s];
-        double* gk = at + (size_t)k * s;
-        for (int j = 0; j < s; ++j) gk[j] += row[j] * gs;
-      }
-    for (int k = 0; k < N; ++k)
-      for (int i = 0; i < s; ++i) {
-        const size_t vi = (size_t)k * s + i;
-        const bool dummy_u = (k == N - 1 && i >= n);
-        if (!dummy_u) {
-          rd = dmax(rd, std::fabs(pw[vi] + at[vi]));
-          sd = dmax(sd, std::fabs(pw[vi]));
-        }
-        sd = dmax(sd, std::fabs(at[vi]));
-      }
+    unscaled_residuals(*w, wv.data(), zdyn.data(), zx0.data(), zblk.data(),
+                       ydyn.data(), yx0.data(), yblk.data(), tmp, &rp, &rd,
+                       &sp, &sd);
 
     done = (rp < eps_abs + eps_rel * sp) && (rd < eps_abs + eps_rel * sd);
     if (done) break;
@@ -934,6 +1191,9 @@ int altro_tpu_knot_solve(void* h, double eps_abs, double eps_rel,
       }
     }
   }
+
+  if (do_polish && done)
+    polish_solution(*w, wv, zdyn, zx0, zblk, ydyn, yx0, yblk, &rp, &rd);
 
   for (int k = 0; k < N; ++k) {
     for (int i = 0; i < n; ++i)

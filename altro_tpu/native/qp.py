@@ -104,7 +104,7 @@ def _load():
     lib.altro_tpu_knot_solve.restype = ctypes.c_int
     lib.altro_tpu_knot_solve.argtypes = [
         ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, dp, dp, ip, dp, dp,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, dp, dp, ip, dp, dp,
     ]
     lib.altro_tpu_knot_reset_iterate.restype = None
     lib.altro_tpu_knot_reset_iterate.argtypes = [ctypes.c_void_p]
@@ -259,10 +259,16 @@ class NativeKnotWork:
 
     def solve(self, eps_abs: float = 1e-5, eps_rel: Optional[float] = None,
               max_iter: int = 4000, check_every: int = 5,
-              warm: bool = False) -> "NativeKnotSolution":
+              warm: bool = False, polish: bool = False
+              ) -> "NativeKnotSolution":
         """``warm=True`` resumes from the previous solve's iterate (the
         OSQP warm_start=true pattern, OSQPParams.jl:128) with the splitting
-        variable re-projected against the updated bounds."""
+        variable re-projected against the updated bounds. ``polish=True``
+        runs an OSQP-style active-set polish after convergence (box/
+        equality rows only; no-op for SOC workspaces): the active rows
+        become hard equalities solved exactly through the banded factor,
+        adopted only if BOTH unscaled residuals improve — so a converged
+        loose-tolerance solve returns a near-machine-accuracy solution."""
         N, n, m = self.N, self.n, self.m
         X = np.zeros((N, n))
         U = np.zeros((N - 1, m))
@@ -272,7 +278,8 @@ class NativeKnotWork:
         dp = ctypes.POINTER(ctypes.c_double)
         ret = _lib.altro_tpu_knot_solve(
             self._h, eps_abs, eps_abs if eps_rel is None else eps_rel,
-            max_iter, check_every, 1 if warm else 0, X.ctypes.data_as(dp),
+            max_iter, check_every, 1 if warm else 0, 1 if polish else 0,
+            X.ctypes.data_as(dp),
             U.ctypes.data_as(dp), ctypes.byref(iters), ctypes.byref(rp),
             ctypes.byref(rd))
         return NativeKnotSolution(X=X, U=U, iterations=iters.value,

@@ -224,3 +224,28 @@ def test_native_knot_soc_blocks():
     assert nsol.status == 1 and int(jsol.status) == 1
     np.testing.assert_allclose(np.asarray(jsol.U), nsol.U, atol=5e-4,
                                rtol=1e-3)
+
+
+def test_native_knot_polish(trot_qp):
+    """OSQP-style active-set polish (knot_solver.cpp polish_solution): a
+    converged LOOSE solve (eps 1e-3) with polish=True must land near-exact
+    residuals and match a tight no-polish solve's controls — the mechanism
+    behind the reference OSQP's quality at speed (OSQPParams.jl:127-128)."""
+    from altro_tpu.native import qp as nqp
+
+    w = nqp.knot_setup(trot_qp.qp, rho=0.1)
+    tight = w.solve(eps_abs=1e-9, max_iter=50000)
+    assert tight.status == 1
+    w2 = nqp.knot_setup(trot_qp.qp, rho=0.1)
+    loose = w2.solve(eps_abs=1e-3, max_iter=20000, polish=False)
+    pol = nqp.knot_setup(trot_qp.qp, rho=0.1).solve(
+        eps_abs=1e-3, max_iter=20000, polish=True)
+    assert pol.status == 1
+    # polish drives residuals far below the loose termination point
+    assert pol.r_prim < 1e-8 and pol.r_dual < 1e-5
+    assert pol.r_prim <= loose.r_prim and pol.r_dual <= loose.r_dual
+    # and the polished controls agree with the tight solve (1e-3 on a
+    # ~130 N force scale, like the neighboring stopping-point tests: the
+    # loose iterate's active set can differ from the optimum's by a
+    # near-degenerate row, which moves U by ~1e-4 at rd ~1e-7)
+    np.testing.assert_allclose(pol.U, tight.U, atol=1e-3)

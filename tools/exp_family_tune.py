@@ -1,0 +1,132 @@
+"""Round-4 probe: apply the flagship/conic tuning playbook to the last two
+TPU rows (VERDICT r3 item 3).
+
+flexsat (3.8k solves/s, mean 8.85 iters in r3): the regulator loop never
+got the exact-step early stop, the L-trimmed ladder, the flagship penalty
+schedule, or the shifted-X warm start (here a NON-shifted exact corrector:
+the window never advances, so the previous solution re-based to the new
+x0 — X_prev + A^k (x0_new - x0_prev) for the LTI stacks — IS the exact
+init rollout of the carried controls).
+
+quadruped (4.1k/3.2k at B=512 in r3): B=1024 now fits (the lane-block
+picker halves the Riccati kernel block at n=m=12), plus early-exact + L=2.
+
+Run on TPU: python tools/exp_family_tune.py [flexsat|quadruped]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def flexsat_variant(B=1024, T=45, opts_override=None, xws=False, label=""):
+    import altro_tpu as at
+    from altro_tpu.models import flexible_satellite as fs
+
+    dtype = jnp.float32
+    prob = fs.flexsat_problem(dtype=dtype)
+    okw = dict(cost_tolerance=1e-4, constraint_tolerance=1e-4,
+               penalty_initial=100.0, penalty_scaling=100.0)
+    okw.update(opts_override or {})
+    opts = at.SolverOptions(**okw)
+    sol0 = jax.jit(at.solve)(prob, opts)
+    jax.block_until_ready(sol0.X)
+
+    Phis = None
+    if xws:
+        import numpy as _np
+        A = _np.asarray(prob.dynamics.A[0], _np.float64)
+        n = A.shape[0]
+        P = _np.empty((prob.N, n, n))
+        P[0] = _np.eye(n)
+        for k in range(1, prob.N):
+            P[k] = A @ P[k - 1]
+        Phis = jnp.asarray(P, dtype)
+
+    def astep(carry, noise_i):
+        x0, X, U, duals = carry
+        x0n = prob.dynamics.step(x0, U[0], 0) + 2e-4 * noise_i
+        X0 = None
+        if Phis is not None:
+            with jax.default_matmul_precision("highest"):
+                X0 = X + jnp.einsum("kij,j->ki", Phis, x0n - X[0])
+        sol = at.solve(prob.replace(x0=x0n), opts, U0=U, duals=duals,
+                       X0=X0)
+        return ((x0n, sol.X, sol.U, sol.duals),
+                (sol.stats.status, sol.stats.viol, sol.stats.iterations))
+
+    vstep = jax.jit(jax.vmap(astep))
+    rng = np.random.default_rng(0)
+    noise = jnp.asarray(rng.standard_normal((T, B, prob.n)), dtype)
+    carry0 = jax.block_until_ready(jax.jit(jax.vmap(
+        lambda _: (prob.x0, sol0.X, sol0.U, sol0.duals)))(jnp.arange(B)))
+    t0 = time.perf_counter()
+    carry, _ = vstep(carry0, noise[0])
+    jax.block_until_ready(carry[0])
+    compile_s = time.perf_counter() - t0
+
+    walls = []
+    for _p in range(3):
+        carry = carry0
+        stats = []
+        t0 = time.perf_counter()
+        for t in range(T):
+            carry, out = vstep(carry, noise[t])
+            stats.append(out)
+        jax.block_until_ready(carry[0])
+        walls.append(time.perf_counter() - t0)
+    dt = float(np.median(walls))
+    st = np.concatenate([np.asarray(s[0]) for s in stats])
+    vl = np.concatenate([np.asarray(s[1]) for s in stats])
+    it = np.concatenate([np.asarray(s[2]) for s in stats])
+    row = dict(label=label, batch=B, steps=T,
+               solves_per_s=round(B * T / dt, 1),
+               success_rate=float(st.mean()), max_viol=float(np.nanmax(vl)),
+               mean_iters=round(float(it.mean()), 3),
+               iters_p99=float(np.percentile(it, 99)),
+               compile_s=round(compile_s, 1), wall_s=round(dt, 3))
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def run_flexsat():
+    rows = []
+    fast = dict(early_exact_tol=1e-3, iterations_linesearch=2)
+    rows.append(flexsat_variant(label="base (r3 shipped)"))
+    rows.append(flexsat_variant(opts_override=fast, label="early+L2"))
+    rows.append(flexsat_variant(opts_override=fast, xws=True,
+                                label="early+L2+xws"))
+    rows.append(flexsat_variant(
+        opts_override=dict(fast, penalty_initial=1e3), xws=True,
+        label="early+L2+xws+pen1e3"))
+    with open("results_tpu/flexsat_tune_r4.json", "w") as f:
+        json.dump(rows, f, indent=1)
+
+
+def run_quadruped():
+    from altro_tpu.bench.batched_families import quadruped_batched
+    rows = []
+    for B in (512, 1024):
+        for lin in (True, False):
+            r = quadruped_batched(B=B, linearized_friction=lin)
+            r["batch"] = B
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+    with open("results_tpu/quadruped_tune_r4.json", "w") as f:
+        json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "flexsat"
+    if which == "flexsat":
+        run_flexsat()
+    else:
+        run_quadruped()
