@@ -69,8 +69,18 @@ CONFIGS = (("bench", None), ("tight", TIGHT))
 # the family set; ALTRO_AGREEMENT_EXTRA="L11" adds a bench-with-L=11
 # config (separates ladder-width effects from window effects when the
 # multi-window gate moves)
-if os.environ.get("ALTRO_AGREEMENT_EXTRA") == "L11":
-    CONFIGS = CONFIGS + (("benchL11", dict(iterations_linesearch=11)),)
+for _tok in (s for s in os.environ.get("ALTRO_AGREEMENT_EXTRA",
+                                       "").split(",") if s):
+    # token: L<k>[d<pct>] — ladder of k rungs, optional ls_decrease pct/100
+    # (e.g. L3d25 = 3 rungs at decrease 0.25: alphas 1, .25, .0625)
+    assert _tok.startswith("L"), _tok
+    if "d" in _tok:
+        _l, _d = _tok[1:].split("d")
+        _ov = dict(iterations_linesearch=int(_l),
+                   ls_decrease=int(_d) / 100.0)
+    else:
+        _ov = dict(iterations_linesearch=int(_tok[1:]))
+    CONFIGS = CONFIGS + ((f"bench{_tok}", _ov),)
 if os.environ.get("ALTRO_AGREEMENT_FAMILIES"):
     FAMILIES = tuple(os.environ["ALTRO_AGREEMENT_FAMILIES"].split(","))
 
