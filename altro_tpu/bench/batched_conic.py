@@ -162,21 +162,27 @@ def rocket_setup(dtype=None, N_mpc: int = 21, opts_override: dict = None,
     #   and declares cost-convergence there (err_U up to 87 while viol
     #   < 1e-4); 1e-5 forces it back (err max 0.33, median 3.4e-3) at
     #   unchanged throughput (21.3k vs 21.0k uncompacted).
-    # iterations_linesearch=2 (round 4): the conic iteration was dominated
+    # iterations_linesearch=5 (round 4): the conic iteration was dominated
     # by the UNTUNED L=10 ladder (rollouts 0.289 + AL-cost evals 0.437 of
-    # the 0.968 ms iteration, results_tpu/conic_attribution.json); the
-    # L-sweep (tools/exp_conic_tune_r4.py, results_tpu/conic_tune_r4_*.json)
-    # measures 35.5k -> 76.0k solves/s at L=11 -> 2 with mean iters DOWN
-    # 9.2 -> 6.9 (a no-rung-accepted round advances the penalty schedule
-    # instead of accepting a deep-backtracked micro-step) and the
-    # agreement_conic quality gate unchanged. Step chaining adds nothing
-    # here (the compacted step's phases already amortize dispatch).
+    # the 0.968 ms iteration, results_tpu/conic_attribution.json). The
+    # L-sweep (tools/exp_conic_tune_r4.py, conic_tune_r4_rocket.json)
+    # measures 35.5 -> 57.9 -> 66.8 -> 76.0k solves/s at L=11/5/3/2 — but
+    # the MULTI-WINDOW quality gate (agreement_conic at k=4/7/10) shows
+    # rocket solution quality degrading monotonically with ladder depth:
+    # mean cost gap vs the f64 1e-7 truth 0.005/0.020/0.064/0.148 at
+    # L=11/5/3/2 (steeper ls_decrease at small L caps the mean ~0.035 but
+    # not the worst lane — /tmp sweeps mirrored in the round-4 notes).
+    # L=5 is the measured sweet spot: 1.38x round-3 throughput at gap
+    # mean 0.020 / max 0.31. The deep-ladder quality term is the rocket's
+    # high-penalty rounds occasionally needing alpha ~ 0.06 steps; fewer
+    # rungs turn those into rejected rounds that end at the outer cap
+    # farther from the optimum (violation still < 1e-4).
     okw = dict(
         cost_tolerance=1e-5, gradient_tolerance=1e-6,
         constraint_tolerance=1e-4, penalty_initial=1e2,
         penalty_scaling=10.0, reset_duals=False, reset_penalties=True,
         iterations_outer=15, iterations_inner=8, reg_min=1.0,
-        early_exact_tol=1e-3, iterations_linesearch=2)
+        early_exact_tol=1e-3, iterations_linesearch=5)
     okw.update(opts_override or {})
     opts = at.SolverOptions(**okw)
     from altro_tpu.models import rocket as _rocket
@@ -261,7 +267,9 @@ def grasp_setup(dtype=None, N_mpc: int = 21, opts_override: dict = None,
     # /tmp-sweep provenance mirrored in tools/exp_inner_cap.py docstring).
     # iterations_linesearch=2: 55.7k -> 95.9k solves/s at L=11 -> 2 with
     # mean iters 4.28 -> 4.03 (same L-sweep provenance as rocket_setup;
-    # results_tpu/conic_tune_r4_grasp.json), quality gate unchanged.
+    # results_tpu/conic_tune_r4_grasp.json). Unlike the rocket, the grasp
+    # quality gate is UNCHANGED at L=2 (multi-window gap ~2e-4 — its
+    # torque-balance/friction geometry accepts the full Newton step).
     okw = dict(
         cost_tolerance=1e-4, constraint_tolerance=1e-4,
         penalty_initial=1e3, penalty_scaling=10.0, reset_duals=False,

@@ -32,10 +32,25 @@ def run_batched_conic():
         _sys.argv = argv
 
 
+def run_agreement():
+    """Re-gate the shipped conic configs (rocket L=5 / grasp L=2):
+    phase1 on this TPU claim, phase2 in the scrubbed-CPU subprocess."""
+    import sys as _sys
+
+    from altro_tpu.bench import agreement_conic
+    argv = _sys.argv
+    _sys.argv = ["agreement_conic"]
+    try:
+        agreement_conic.main()
+    finally:
+        _sys.argv = argv
+
+
 for name, fn in (("flexsat", exp_family_tune.run_flexsat),
                  ("quadruped", exp_family_tune.run_quadruped),
                  ("fused_context", exp_fused_context.main),
-                 ("batched_conic", run_batched_conic)):
+                 ("batched_conic", run_batched_conic),
+                 ("agreement_conic", run_agreement)):
     print(f"==== {name}", flush=True)
     try:
         fn()
