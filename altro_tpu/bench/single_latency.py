@@ -127,6 +127,30 @@ def jax_row(N_mpc: int, T: int = 60):
                 mean_iters=round(float(np.mean(iters)), 3))
 
 
+def write_figure(res, path="figures/single_latency.png"):
+    """Horizon-sweep latency comparison (figures/horizon_comp.tikz analog;
+    repo convention: red = this framework, neutral dark = reference)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    Ns = [r["N"] for r in res["native"]]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(Ns, [REFERENCE_MS[n] for n in Ns], "s--", color="0.25",
+            lw=2, label="reference ALTRO (Julia, 1 core)")
+    ax.plot(Ns, [r["solve_ms_mean"] for r in res["native"]], "o-",
+            color="tab:red", lw=2, label="native AL-iLQR (this framework)")
+    ax.plot(Ns, [r["update_plus_solve_ms"] for r in res["native"]], "o:",
+            color="tab:red", lw=1.2, alpha=0.7,
+            label="native incl. problem update")
+    ax.set_xlabel("MPC horizon N")
+    ax.set_ylabel("warm solve time (ms)")
+    ax.grid(True, alpha=0.3)
+    ax.legend(fontsize=8)
+    fig.savefig(path, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+
+
 def main():
     if jax.default_backend() != "cpu":  # pragma: no cover
         raise SystemExit("run on CPU: env -u PYTHONPATH JAX_PLATFORMS=cpu")
@@ -150,6 +174,11 @@ def main():
     with open(out, "w") as f:
         json.dump(res, f, indent=1)
     print(f"wrote {out}")
+    try:
+        write_figure(res)
+        print("wrote figures/single_latency.png")
+    except Exception as e:  # plotting is best-effort
+        print(f"(figure skipped: {e})")
 
 
 if __name__ == "__main__":
