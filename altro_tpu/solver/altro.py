@@ -667,11 +667,20 @@ def _loop_fns(prob: Problem, opts: SolverOptions, s0,
 
         def body(s):
             X, U, K, duals, reg, grad, viol, it_rd, it, rounds, done = s
-            # The fully-fused expansion+backward kernel is EXPERIMENTAL:
-            # its scalar-heavy Mosaic lowering hangs the remote TPU compiler
-            # (round-2 item; see CLAUDE.md). Opt in with ALTRO_TPU_FUSED=1.
+            # Fused expansion+backward boundary (default ON, round 4): the
+            # round-2 "12x slower in context" measurement no longer holds —
+            # under the current solver the fused kernel wins BOTH isolated
+            # (0.60 vs 1.24 ms at B=1024) and in the real warm step (4.01
+            # vs 4.50 ms/step at 1 forced iteration;
+            # results_tpu/fused_context.json). The custom_vmap rule
+            # dispatches the Pallas kernel only for supported configs
+            # (ZERO/NONPOS cones, f32, batch%128, TPU) and otherwise
+            # composes the same XLA expansion + Pallas backward as the
+            # unfused path, so this gate widening changes nothing where
+            # the kernel doesn't apply. ALTRO_TPU_FUSED=0 restores the
+            # split path.
             import os as _os
-            use_fused = (_os.environ.get("ALTRO_TPU_FUSED") == "1"
+            use_fused = (_os.environ.get("ALTRO_TPU_FUSED", "auto") != "0"
                          and isinstance(prob.dynamics, LTVDynamics)
                          and all(getattr(c, "is_affine", False)
                                  for c in prob.constraints))

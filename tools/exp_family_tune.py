@@ -99,14 +99,18 @@ def flexsat_variant(B=1024, T=45, opts_override=None, xws=False, label=""):
 
 def run_flexsat():
     rows = []
-    fast = dict(early_exact_tol=1e-3, iterations_linesearch=2)
+    # L=5 not 2: at N=80/B=1024 an L<=3 ladder shrinks the rollout outputs
+    # under 16M and XLA then VMEM-places the backward kernel's outputs too,
+    # overflowing scoped vmem (16.93M) — L=5 keeps the ladder outputs big
+    # enough to stay HBM-placed while still dropping 6 of the 11 rungs.
+    fast = dict(early_exact_tol=1e-3, iterations_linesearch=5)
     rows.append(flexsat_variant(label="base (r3 shipped)"))
-    rows.append(flexsat_variant(opts_override=fast, label="early+L2"))
+    rows.append(flexsat_variant(opts_override=fast, label="early+L5"))
     rows.append(flexsat_variant(opts_override=fast, xws=True,
-                                label="early+L2+xws"))
+                                label="early+L5+xws"))
     rows.append(flexsat_variant(
         opts_override=dict(fast, penalty_initial=1e3), xws=True,
-        label="early+L2+xws+pen1e3"))
+        label="early+L5+xws+pen1e3"))
     with open("results_tpu/flexsat_tune_r4.json", "w") as f:
         json.dump(rows, f, indent=1)
 
