@@ -60,7 +60,14 @@ def _instances(dtype, linearized_friction: bool, B: int):
     with jax.default_matmul_precision("highest"):
         probs = []
         for i in range(n_sched):
-            t = jnp.asarray(i * cycle / n_sched, dtype)
+            # MID-phase sampling (i+0.5): t = i*cycle/8 lands exactly on
+            # gait phase boundaries (t=0.2 for the trot), where f32-vs-f64
+            # rounding flips the contact schedule between the TPU phase and
+            # the f64 truth phase — the instances then mismatch entirely
+            # (first artifact run: err_U 30.5 / cost gap 60x, IDENTICAL
+            # across friction modes — the tell that it was instance
+            # pairing, not solver quality)
+            t = jnp.asarray((i + 0.5) * cycle / n_sched, dtype)
             x_ref = jnp.tile(x_des, (cfg.N, 1))
             contacts, foot_locs, _ = planner.foot_history(
                 t, x_ref, feet0, feet0, gait, x_des, cfg.N,

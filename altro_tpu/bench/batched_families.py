@@ -34,7 +34,27 @@ import jax.numpy as jnp
 
 
 def flexsat_batched(B: int = 1024, T: int = 45):
-    """Batched flexsat regulator loop (flexible_sat_mpc.jl:242-308)."""
+    """Batched flexsat regulator loop (flexible_sat_mpc.jl:242-308).
+
+    Round-4 warm-solve config (results_tpu/flexsat_tune_r4.json, each
+    lever measured at B=1024/T=45 on v5e):
+      base (r3)                 3.8k solves/s (7.3k once the fused
+                                expansion+backward kernel became default)
+      + early-exact, L=5 ladder 12.5k  (but 0.12% of lanes FAIL at viol
+                                ~2 without the exact X0 below)
+      + exact re-based X0       25.4k  success 1.0 — the regulator analog
+                                of the flagship's shifted-X warm start:
+                                the window never advances, so the exact
+                                init rollout of the carried controls is
+                                X_prev + A^k (x0_new - x0_prev) with
+                                build-time A^k (no shift, no seam)
+      + penalty_initial=1e3     36.1k  success 1.0, viol 1e-4, mean 3.2
+                                iterations (the flagship schedule; the
+                                reference flexsat's 1e2 needs one extra
+                                AL round per solve)
+    L=5 not 2: an L<=3 ladder at N=80/B=1024 shrinks the rollout outputs
+    under 16M and XLA then VMEM-places the backward kernel's outputs too,
+    overflowing scoped vmem."""
     import altro_tpu as at
     from altro_tpu.models import flexible_satellite as fs
 
@@ -42,17 +62,30 @@ def flexsat_batched(B: int = 1024, T: int = 45):
     prob = fs.flexsat_problem(dtype=dtype)
     opts = at.SolverOptions(
         cost_tolerance=1e-4, constraint_tolerance=1e-4,
-        penalty_initial=100.0, penalty_scaling=100.0)
+        penalty_initial=1e3, penalty_scaling=100.0,
+        early_exact_tol=1e-3, iterations_linesearch=5)
     print("  cold solve (N=80, f32)...", flush=True)
     sol0 = jax.jit(at.solve)(prob, opts)
     jax.block_until_ready(sol0.X)
     print(f"  cold: status={int(sol0.stats.status)}", flush=True)
 
+    # exact re-based warm-start states (see docstring): Phis[k] = A^k
+    import numpy as _np
+    A0 = _np.asarray(prob.dynamics.A[0], _np.float64)
+    Ph = _np.empty((prob.N,) + A0.shape)
+    Ph[0] = _np.eye(A0.shape[0])
+    for k in range(1, prob.N):
+        Ph[k] = A0 @ Ph[k - 1]
+    Phis = jnp.asarray(Ph, dtype)
+
     def astep(carry, noise_i):
-        x0, U, duals = carry
+        x0, X, U, duals = carry
         x0n = prob.dynamics.step(x0, U[0], 0) + 2e-4 * noise_i
-        sol = at.solve(prob.replace(x0=x0n), opts, U0=U, duals=duals)
-        return ((x0n, sol.U, sol.duals),
+        with jax.default_matmul_precision("highest"):
+            X0 = X + jnp.einsum("kij,j->ki", Phis, x0n - X[0])
+        sol = at.solve(prob.replace(x0=x0n), opts, U0=U, duals=duals,
+                       X0=X0)
+        return ((x0n, sol.X, sol.U, sol.duals),
                 (sol.stats.status, sol.stats.viol, sol.stats.iterations))
 
     vstep = jax.jit(jax.vmap(astep))
@@ -60,7 +93,7 @@ def flexsat_batched(B: int = 1024, T: int = 45):
     noise = jnp.asarray(rng.standard_normal((T, B, prob.n)), dtype)
 
     def init_carry(_):
-        return (prob.x0, sol0.U, sol0.duals)
+        return (prob.x0, sol0.X, sol0.U, sol0.duals)
 
     carry0 = jax.block_until_ready(
         jax.jit(jax.vmap(init_carry))(jnp.arange(B)))
