@@ -36,7 +36,8 @@ LANE_BLOCK = 1024
 def fused_supported(n: int, m: int, batch: int, cones) -> bool:
     from ..cones import Cone
     return (n <= 64 and m <= 64 and batch % 128 == 0
-            and all(c in (Cone.ZERO, Cone.NONPOS) for c in cones))
+            and all(c in (Cone.ZERO, Cone.NONPOS, Cone.SOC)
+                    for c in cones))
 
 
 def _make_kernel(n, m, N1, block_meta):
@@ -97,20 +98,19 @@ def _make_kernel(n, m, N1, block_meta):
                                                 block_meta):
                 Cx_ref, Cu_ref, b_ref, mask_ref = bl
                 mask = mask_ref[0, row, 0]
-                for pp in range(p):
+
+                def row_residual(pp):
                     c = b_ref[0, row, pp] * ones
                     for i in range(n):
                         c = c + Cx_ref[0, row, pp, i] * x[i]
                     if include_control:
                         for j in range(m):
                             c = c + Cu_ref[0, row, pp, j] * u[j]
-                    z = lam_ref[0, row, pp] + rho * c
-                    if cone == Cone.ZERO:
-                        g = z * mask
-                        w = rho * mask * ones
-                    else:  # NONPOS
-                        g = jnp.maximum(z, 0.0) * mask
-                        w = rho * (z > 0.0).astype(z.dtype) * mask
+                    return lam_ref[0, row, pp] + rho * c  # z = lam + rho c
+
+                def add_gw(pp, g, w):
+                    """Accumulate gradient g and diagonal curvature weight w
+                    for constraint row pp (g, w are [Bb] vectors)."""
                     for i in range(n):
                         cxi = Cx_ref[0, row, pp, i]
                         lx[i] = lx[i] + cxi * g
@@ -128,6 +128,66 @@ def _make_kernel(n, m, N1, block_meta):
                             for j in range(n):
                                 lux[i][j] = lux[i][j] \
                                     + cw * Cx_ref[0, row, pp, j]
+
+                if cone in (Cone.ZERO, Cone.NONPOS):
+                    for pp in range(p):
+                        z = row_residual(pp)
+                        if cone == Cone.ZERO:
+                            g = z * mask
+                            w = rho * mask * ones
+                        else:  # NONPOS
+                            g = jnp.maximum(z, 0.0) * mask
+                            w = rho * (z > 0.0).astype(z.dtype) * mask
+                        add_gw(pp, g, w)
+                else:
+                    # SOC: z = (v, s); branchless three-case polar
+                    # projection (cones.soc_polar_curvature_factors):
+                    #   inside  (a <= s):  g = 0,      J = 0
+                    #   polar   (a <= -s): g = z,      J = I
+                    #   boundary:          g = gamma (v, -a),
+                    #     J = diag(gamma..gamma, 0) - gamma u1 u1'
+                    #         + 1/2 u2 u2',  u1 = (vh, 0), u2 = (-vh, 1)
+                    zs = [row_residual(pp) for pp in range(p)]
+                    a2 = sum(zi * zi for zi in zs[:-1])
+                    a = jnp.sqrt(a2)
+                    sv = zs[-1]
+                    a_safe = jnp.where(a > 0, a, 1.0)
+                    polar = (a <= -sv).astype(a.dtype)
+                    bnd = ((a > sv) & (a > -sv)).astype(a.dtype)
+                    gamma = bnd * (a - sv) / (2.0 * a_safe)
+                    # gradient rows (mask applied)
+                    for pp in range(p - 1):
+                        g = (polar * zs[pp] + gamma * zs[pp]) * mask
+                        w = rho * (polar + gamma) * mask
+                        add_gw(pp, g, w)
+                    g_last = (polar * sv - gamma * a) * mask
+                    w_last = rho * polar * mask
+                    add_gw(p - 1, g_last, w_last)
+                    # rank-1 terms: coef1 (vh,0), coef2 (-vh,1) with
+                    # coef1 = -rho gamma, coef2 = rho bnd / 2. Project the
+                    # cone rows through them once: ax_i = sum_pp C[pp,i] u_pp
+                    rm = rho * mask
+                    coef1 = -(rm * gamma)
+                    coef2 = 0.5 * (rm * bnd)
+                    vh = [zi / a_safe for zi in zs[:-1]]
+                    for coef, u_rows in (
+                            (coef1, vh + [jnp.zeros_like(ones)]),
+                            (coef2, [-vhi for vhi in vh] + [ones])):
+                        ax = [sum(Cx_ref[0, row, pp, i] * u_rows[pp]
+                                  for pp in range(p)) for i in range(n)]
+                        cax = [coef * axi for axi in ax]
+                        for i in range(n):
+                            for j in range(i, n):
+                                lxx[i][j] = lxx[i][j] + cax[i] * ax[j]
+                        if include_control:
+                            au = [sum(Cu_ref[0, row, pp, i] * u_rows[pp]
+                                      for pp in range(p)) for i in range(m)]
+                            cau = [coef * aui for aui in au]
+                            for i in range(m):
+                                for j in range(i, m):
+                                    luu[i][j] = luu[i][j] + cau[i] * au[j]
+                                for j in range(n):
+                                    lux[i][j] = lux[i][j] + cau[i] * ax[j]
             # symmetrize the lower triangles
             for i in range(n):
                 for j in range(i + 1, n):
