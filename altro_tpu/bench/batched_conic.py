@@ -8,11 +8,12 @@ jitted vmapped warm-started MPC step, host-driven with pipelined dispatch —
 to those two conic configs at B scenarios in f32 and reports
 solves/s/chip + success + max violation.
 
-Note on kernels: the SOC augmented-Lagrangian expansion carries dense
-[N, p, p] projection-Jacobian curvature and runs XLA-side — the Pallas
-fused backward/rollout kernels only engage for ZERO/NONPOS cones
-(ops/riccati_fused.fused_supported), so these numbers bound what a
-lane-packed SOC expansion kernel could improve.
+Note on kernels (round 4): the SOC augmented-Lagrangian expansion now
+runs INSIDE the fused Pallas expansion+backward kernel (branchless
+three-case polar projection + diag/rank-2 curvature,
+ops/riccati_fused.py) — measured 1.42x on the plain rocket warm step
+(results_tpu/fused_soc_check.json); ALTRO_TPU_FUSED=0 restores the
+XLA-side expansion.
 
 Run on TPU: ``python -m altro_tpu.bench.batched_conic [--out results_tpu]``.
 """
@@ -172,11 +173,15 @@ def rocket_setup(dtype=None, N_mpc: int = 21, opts_override: dict = None,
     # mean cost gap vs the f64 1e-7 truth 0.005/0.020/0.064/0.148 at
     # L=11/5/3/2 (steeper ls_decrease at small L caps the mean ~0.035 but
     # not the worst lane — /tmp sweeps mirrored in the round-4 notes).
-    # L=5 is the measured sweet spot: 1.38x round-3 throughput at gap
-    # mean 0.020 / max 0.31. The deep-ladder quality term is the rocket's
-    # high-penalty rounds occasionally needing alpha ~ 0.06 steps; fewer
-    # rungs turn those into rejected rounds that end at the outer cap
-    # farther from the optimum (violation still < 1e-4).
+    # The deep-ladder quality term is the rocket's high-penalty rounds
+    # occasionally needing alpha ~ 0.06 steps; fewer rungs turn those into
+    # rejected rounds that end at the outer cap farther from the optimum
+    # (violation still < 1e-4). L=5 was the unfused sweet spot (68.3k at
+    # gap mean 0.020). Under the FUSED SOC kernel the depth-quality
+    # relation flattens: fused L=8 measured gap mean 0.036 at 72.9k vs
+    # fused L=5's 0.039 at 92.4k — the quality limiter is the kernel's
+    # f32 arithmetic on knife-edge lanes, not ladder depth — so L=5 is
+    # the dominant point and ships.
     okw = dict(
         cost_tolerance=1e-5, gradient_tolerance=1e-6,
         constraint_tolerance=1e-4, penalty_initial=1e2,
