@@ -213,16 +213,6 @@ class DualState:
         lam = jnp.concatenate([self.lam[1:], self.lam[-1:]], axis=0)
         return self.replace(lam=lam)
 
-    def decay_penalty(self, factor: float, floor: float) -> "DualState":
-        """Geometric penalty decay between MPC solves (rho <- max(factor *
-        rho, floor)). The middle ground between carrying converged
-        penalties verbatim (fast — wall time follows the worst lane — but
-        stale rho up to penalty_max pins the next solution to the warm
-        start and costs O(1) control suboptimality on the rocket bench)
-        and resetting to penalty_initial each solve (accurate but ~4x the
-        iterations). Measured on the rocket SOC bench: see
-        bench/batched_conic.rocket_setup."""
-        return self.replace(rho=jnp.maximum(self.rho * factor, floor))
 
 
 def al_terms(con: ConicConstraint, dual: DualState, X, U):

@@ -149,7 +149,7 @@ def _xws_corrector(dyn):
 
 def make_mpc_step(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
                   noise_model=default_noise_model, constraints_fn=None,
-                  shared_k: bool = False, penalty_decay=None):
+                  shared_k: bool = False):
     """Build the single warm-started MPC step as a jittable function
     ``step(carry, noise_i) -> (carry, MPCResults)``.
 
@@ -188,13 +188,6 @@ def make_mpc_step(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
 
         U_ws = shift_fill(U)
         duals_ws = tuple(d.shift() for d in duals)
-        if penalty_decay is not None:
-            # geometric penalty decay between solves (factor, floor):
-            # carrying converged rho verbatim pins the next solution to
-            # the warm start (O(1) rocket suboptimality); resetting is 4x
-            # the iterations — see DualState.decay_penalty
-            f_, fl_ = penalty_decay
-            duals_ws = tuple(d.decay_penalty(f_, fl_) for d in duals_ws)
         X_ws = None if xws is None else xws(X, U_ws, x0_new)
         return solve(prob_k, opts, U0=U_ws, duals=duals_ws, X0=X_ws)
 
@@ -232,8 +225,7 @@ def make_mpc_step(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
 def make_mpc_step_compacted(prob_mpc: Problem, opts: SolverOptions,
                             X_track, U_track,
                             noise_model=default_noise_model,
-                            constraints_fn=None, it_cap: int = 24,
-                            penalty_decay=None):
+                            constraints_fn=None, it_cap: int = 24):
     """Batched-driver MPC step with STRAGGLER COMPACTION.
 
     A vmapped batch's solve runs until its slowest lane converges, so wall
@@ -276,9 +268,6 @@ def make_mpc_step_compacted(prob_mpc: Problem, opts: SolverOptions,
         prob_k = _prob_at(k + 1, x0_new)
         U_ws = shift_fill(U)
         duals_ws = tuple(d.shift() for d in duals)
-        if penalty_decay is not None:
-            f_, fl_ = penalty_decay
-            duals_ws = tuple(d.decay_penalty(f_, fl_) for d in duals_ws)
         X_ws = None if xws is None else xws(X, U_ws, x0_new)
         state = _alt.solve_partial(prob_k, opts, U_ws, duals_ws, X_ws,
                                    it_cap=it_cap)
@@ -314,7 +303,7 @@ def make_mpc_step_device_compacted(prob_mpc: Problem, opts: SolverOptions,
                                    noise_model=default_noise_model,
                                    constraints_fn=None, it_cap: int = 24,
                                    block: int = 128,
-                                   levels: tuple = (), penalty_decay=None):
+                                   levels: tuple = ()):
     """Batch-level MPC step with DEVICE-SIDE straggler compaction — one
     jitted program per step, so pipelined dispatch (and the tunnel RTT it
     hides) is preserved, unlike the host-orchestrated
@@ -347,7 +336,7 @@ def make_mpc_step_device_compacted(prob_mpc: Problem, opts: SolverOptions,
     results stay bit-identical to the plain step for any schedule."""
     partial, resume, extract, init_carry = make_mpc_step_compacted(
         prob_mpc, opts, X_track, U_track, noise_model, constraints_fn,
-        it_cap=it_cap, penalty_decay=penalty_decay)
+        it_cap=it_cap)
     sched = ((it_cap, block),) + tuple(levels)
 
     def compact(states, k, lvl, cum):
