@@ -410,10 +410,11 @@ class NativeIlqrWork:
     tests/test_native_ilqr.py).
     """
 
-    def __init__(self, handle, dims, ptot):
+    def __init__(self, handle, dims, ptot, mask0=None):
         self._h = handle
         self.N, self.n, self.m = dims
         self.ptot = ptot
+        self._mask0 = None if mask0 is None else np.asarray(mask0)
 
     def __del__(self):
         h = getattr(self, "_h", None)
@@ -423,8 +424,14 @@ class NativeIlqrWork:
 
     def update(self, prob) -> None:
         a = _ilqr_prob_arrays(prob)
+        # mask is structural (fixed at setup); the native side never re-reads
+        # it, so a caller whose per-step problem changes block masks would
+        # get silently wrong solutions — reject that loudly instead
+        if self._mask0 is not None and not np.array_equal(a[13], self._mask0):
+            raise ValueError(
+                "native iLQR: constraint masks changed since setup — masks "
+                "are structural (fixed at setup); rebuild with ilqr_setup")
         dp = ctypes.POINTER(ctypes.c_double)
-        # mask is structural (fixed at setup); update passes values only
         ret = _lib.altro_tpu_ilqr_update(
             self._h, *(arr.ctypes.data_as(dp) for arr in a[:13]))
         if ret != 0:
@@ -494,4 +501,4 @@ def ilqr_setup(prob) -> NativeIlqrWork:
         *(arr.ctypes.data_as(dp) for arr in a))
     if not h:
         raise RuntimeError("native iLQR: setup failed")
-    return NativeIlqrWork(h, (N, n, m), int(p_blk.sum()))
+    return NativeIlqrWork(h, (N, n, m), int(p_blk.sum()), mask0=a[13])

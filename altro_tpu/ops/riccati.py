@@ -54,16 +54,26 @@ def pick_lane_block(batch: int, in_out_floats: int, scratch_floats: int,
     ``in_out_floats``/``scratch_floats`` are per-lane float counts of the
     streamed blocks and the carry scratch (sublane-padded; see :func:`pad8`).
     Large state/control dims (the quadruped's n=m=12) overflow the 16M
-    scoped-vmem limit at blk=1024; halving the block (the grid's batch
-    dimension gains a step) trades a little pipeline overhead for fitting —
-    B=1024 then runs as 2x512 blocks instead of failing to compile."""
-    blk = min(LANE_BLOCK, batch)
-    while blk > 128:
-        bytes_est = itemsize * blk * (2 * in_out_floats + scratch_floats)
-        if bytes_est <= VMEM_BUDGET_BYTES and batch % blk == 0:
-            break
-        blk //= 2
-    return blk
+    scoped-vmem limit at blk=1024; shrinking the block (the grid's batch
+    dimension gains steps) trades a little pipeline overhead for fitting —
+    B=1024 then runs as 2x512 blocks instead of failing to compile.
+
+    Candidates walk k*128 widths DESCENDING (not blk //= 2): halving a
+    non-power-of-two multiple like 640 would yield 320 — still dividing the
+    batch but breaking the kernels' 128-lane packing. Every candidate here
+    is a multiple of 128; if even 128 overflows the budget it is returned
+    anyway (the budget is a heuristic with headroom, and callers gate batch
+    % 128 via riccati_supported). Batches below 128 (interpret-mode tests)
+    run as a single block."""
+    if batch < 128:
+        return batch
+    for k in range(min(LANE_BLOCK, batch) // 128, 1, -1):
+        blk = k * 128
+        if batch % blk == 0:
+            bytes_est = itemsize * blk * (2 * in_out_floats + scratch_floats)
+            if bytes_est <= VMEM_BUDGET_BYTES:
+                return blk
+    return 128
 
 
 def riccati_supported(n: int, m: int, batch: int) -> bool:

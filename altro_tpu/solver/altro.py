@@ -674,7 +674,7 @@ def _loop_fns(prob: Problem, opts: SolverOptions, s0,
             # vs 4.50 ms/step at 1 forced iteration;
             # results_tpu/fused_context.json). The custom_vmap rule
             # dispatches the Pallas kernel only for supported configs
-            # (ZERO/NONPOS cones, f32, batch%128, TPU) and otherwise
+            # (ZERO/NONPOS/SOC cones, f32, batch%128, TPU) and otherwise
             # composes the same XLA expansion + Pallas backward as the
             # unfused path, so this gate widening changes nothing where
             # the kernel doesn't apply. ALTRO_TPU_FUSED=0 restores the
