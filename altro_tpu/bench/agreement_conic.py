@@ -54,6 +54,17 @@ T_STEPS = 10
 # checked ONE step (the last); a warm-lock failure mode can hide in
 # unsampled steps, so the gate now spans early/mid/late windows.
 CHECK_STEPS = (4, 7, 10)
+# windows where ALL lanes are gated (round 5): the failure modes this
+# artifact exists to catch (warm-lock, knife-edge lanes) live on the tail
+# of the batch, which a 16-lane sample misses. At each of these windows
+# every lane's shipped-config solution is scored against a COLD TIGHT f32
+# re-solve of the identical instance (U0 = the window's tracking controls,
+# fresh duals — no warm-chain inheritance), both evaluated under the f64
+# true cost; the per-lane relative gap histogram (max/p99/mean) is the
+# gate. The 16-lane f64-truth sample stays as the absolute anchor, and
+# phase2 cross-scores the cold-tight solutions against that truth so the
+# truth-lite itself is validated.
+FULL_STEPS = (2, 4, 6, 8, 10)
 B_DEFAULT = 1024
 
 FAMILIES = ("rocket", "grasp")
@@ -103,6 +114,37 @@ def _make_step(su):
                          su["U_track"], shared_k=True, **kw)
 
 
+def _tight_batch_solver(su_tight):
+    """Jitted batched COLD tight re-solver: (k, x0s[B,n]) -> (U, status,
+    viol) with U0 = the window's tracking controls and fresh duals — the
+    full-batch truth-lite (see FULL_STEPS)."""
+    import jax
+
+    import altro_tpu as at
+    from altro_tpu.costs import retarget_tracking
+    from altro_tpu.mpc import track_window
+
+    prob_mpc = su_tight["prob_mpc"]
+    opts = su_tight["opts"]
+    X_track, U_track = su_tight["X_track"], su_tight["U_track"]
+    cfn = su_tight["constraints_fn"]
+
+    def solve_batch(k, x0s):
+        Xw, Uw = track_window(X_track, U_track, k, prob_mpc.N)
+        prob_k = prob_mpc.replace(
+            cost=retarget_tracking(prob_mpc.cost, Xw, Uw))
+        if cfn is not None:
+            prob_k = prob_k.replace(constraints=cfn(k))
+
+        def one(x0):
+            sol = at.solve(prob_k.replace(x0=x0), opts, U0=Uw)
+            return sol.U, sol.stats.status, sol.stats.viol
+
+        return jax.vmap(one)(x0s)
+
+    return jax.jit(solve_batch)
+
+
 def phase1_tpu(out_npz: str, B: int = B_DEFAULT):
     import jax
     import jax.numpy as jnp
@@ -110,9 +152,14 @@ def phase1_tpu(out_npz: str, B: int = B_DEFAULT):
     save = dict(k=int(T_STEPS))
     for family in FAMILIES:
         track = None
+        tight_solver = None
         for cname, ov in CONFIGS:
             su = _setup(family, jnp.float32, opts_override=ov, track=track)
             track = (su["X_track"], su["U_track"])  # cold solve reused
+            if tight_solver is None:
+                su_t = _setup(family, jnp.float32, opts_override=TIGHT,
+                              track=track)
+                tight_solver = _tight_batch_solver(su_t)
             step, init_carry = _make_step(su)
             vstep = jax.jit(jax.vmap(step, in_axes=(0, 0, None)))
             rng = np.random.default_rng(1 if family == "rocket" else 0)
@@ -129,6 +176,16 @@ def phase1_tpu(out_npz: str, B: int = B_DEFAULT):
                 if (t + 1) in CHECK_STEPS:  # solve used window k = t+1
                     save[f"{key}_k{t + 1}_x0"] = np.asarray(out.x0)[idx]
                     save[f"{key}_k{t + 1}_U"] = np.asarray(out.U)[idx]
+                if (t + 1) in FULL_STEPS:
+                    # full-batch gate: every lane's solution + a cold tight
+                    # re-solve of the identical instances
+                    Uc, stc, vic = tight_solver(
+                        jnp.asarray(t + 1, jnp.int32), out.x0)
+                    save[f"{key}_f{t + 1}_x0"] = np.asarray(out.x0)
+                    save[f"{key}_f{t + 1}_U"] = np.asarray(out.U)
+                    save[f"{key}_f{t + 1}_Uc"] = np.asarray(Uc)
+                    save[f"{key}_f{t + 1}_stc"] = np.asarray(stc)
+                    save[f"{key}_f{t + 1}_vic"] = np.asarray(vic)
             jax.block_until_ready(carry)
             save[f"{key}_status"] = np.asarray(out.status)
             save[f"{key}_viol"] = np.asarray(out.viol)
@@ -188,11 +245,16 @@ def phase2_cpu(in_npz: str, out_json: str):
 
         jtruth = jax.jit(solve_truth)
         jcost = jax.jit(traj_cost)
+        jcosts = jax.jit(jax.vmap(traj_cost, in_axes=(None, 0, 0)))
 
         fam_row = {}
         for cname, _ov in CONFIGS:
             key = f"{family}_{cname}"
             errs, gaps, stts, stns, d_nat = [], [], [], [], []
+            gaps_cold = []  # cold-tight truth-lite scored vs the f64 truth
+            Bfull = (data[f"{key}_f{FULL_STEPS[0]}_x0"].shape[0]
+                     if f"{key}_f{FULL_STEPS[0]}_x0" in data else 0)
+            sidx = np.linspace(0, max(Bfull - 1, 0), SAMPLE).astype(int)
             for k in CHECK_STEPS:
                 prob_base = prob_at(k)
                 x0s = data[f"{key}_k{k}_x0"]
@@ -207,6 +269,12 @@ def phase2_cpu(in_npz: str, out_json: str):
                     J_tpu = float(jcost(prob_base, x0, U_t))
                     J_tr = float(jcost(prob_base, x0, U_truth))
                     gaps.append((J_tpu - J_tr) / max(abs(J_tr), 1e-12))
+                    if k in FULL_STEPS and Bfull:
+                        U_c = jnp.asarray(
+                            data[f"{key}_f{k}_Uc"][sidx[i]], jnp.float64)
+                        J_c = float(jcost(prob_base, x0, U_c))
+                        gaps_cold.append(
+                            (J_c - J_tr) / max(abs(J_tr), 1e-12))
                     if cname == "tight" and k == CHECK_STEPS[-1]:
                         cdata = to_batch_conic(prob_base.replace(x0=x0))
                         nat = native.solve_conic(
@@ -229,10 +297,41 @@ def phase2_cpu(in_npz: str, out_json: str):
             if d_nat:
                 row["max_dU_cpu_f64_vs_native_cpp"] = float(np.max(d_nat))
                 row["native_success"] = int(min(stns))
+            if Bfull:
+                # full-batch gate: every lane at FULL_STEPS windows vs the
+                # cold-tight f32 re-solve, f64 true-cost scoring
+                fbg = []
+                for k in FULL_STEPS:
+                    prob_base = prob_at(k)
+                    x0b = jnp.asarray(data[f"{key}_f{k}_x0"], jnp.float64)
+                    Jb = np.asarray(jcosts(
+                        prob_base, x0b,
+                        jnp.asarray(data[f"{key}_f{k}_U"], jnp.float64)))
+                    Jc = np.asarray(jcosts(
+                        prob_base, x0b,
+                        jnp.asarray(data[f"{key}_f{k}_Uc"], jnp.float64)))
+                    fbg.append((Jb - Jc) / np.maximum(np.abs(Jc), 1e-12))
+                g = np.concatenate(fbg)
+                row["fullbatch"] = dict(
+                    lanes=int(Bfull), windows=list(FULL_STEPS),
+                    cold_tight_success=float(np.mean(
+                        [data[f"{key}_f{k}_stc"] for k in FULL_STEPS])),
+                    cold_tight_max_viol=float(np.max(
+                        [data[f"{key}_f{k}_vic"] for k in FULL_STEPS])),
+                    gap_max=float(g.max()), gap_min=float(g.min()),
+                    gap_p99=float(np.percentile(g, 99)),
+                    gap_mean=float(g.mean()),
+                    frac_above_5pct=float(np.mean(g > 0.05)),
+                    cold_tight_vs_truth_gap_max=(
+                        float(np.max(gaps_cold)) if gaps_cold else None),
+                )
             fam_row[cname] = row
             print(f"phase2 {key}: err_U {row['err_U_max']:.2e} "
                   f"cost_gap {row['cost_rel_gap_max']:.2e} "
-                  f"(over k={list(CHECK_STEPS)})", flush=True)
+                  f"(over k={list(CHECK_STEPS)})"
+                  + (f" | fullbatch gap max {row['fullbatch']['gap_max']:.2e}"
+                     f" p99 {row['fullbatch']['gap_p99']:.2e}"
+                     if Bfull else ""), flush=True)
         res["families"][family] = fam_row
 
     os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)

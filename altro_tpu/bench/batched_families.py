@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 
 
-def flexsat_batched(B: int = 1024, T: int = 45):
+def flexsat_batched(B: int = 1024, T: int = 45, compact_cap: int = 0,
+                    compact_block: int = 128, compact_levels: tuple = ()):
     """Batched flexsat regulator loop (flexible_sat_mpc.jl:242-308).
 
     Round-4 warm-solve config (results_tpu/flexsat_tune_r4.json, each
@@ -88,7 +89,65 @@ def flexsat_batched(B: int = 1024, T: int = 45):
         return ((x0n, sol.X, sol.U, sol.duals),
                 (sol.stats.status, sol.stats.viol, sol.stats.iterations))
 
-    vstep = jax.jit(jax.vmap(astep))
+    if compact_cap:
+        # Device-side straggler compaction, regulator form (round 5): the
+        # flexsat tail is rocket-shaped (iters p99 22 vs mean 3.2 at the r4
+        # config, flexsat_tune_r4.json) and the batched while-loop runs to
+        # the slowest lane. Same three-phase schedule as
+        # mpc.make_mpc_step_device_compacted — run all lanes to the cap,
+        # gather a block of unconverged-first lanes, finish them, scatter,
+        # full-batch catch-all — but with the fixed regulator problem (no
+        # window shift; prob.x0 is not read on resume). Results are
+        # bit-identical to the plain step (lanes freeze on their own
+        # convergence).
+        from altro_tpu.solver import altro as _alt
+
+        def partial_step(carry, noise_i):
+            x0, X, U, duals = carry
+            x0n = prob.dynamics.step(x0, U[0], 0) + 2e-4 * noise_i
+            with jax.default_matmul_precision("highest"):
+                X0 = X + jnp.einsum("kij,j->ki", Phis, x0n - X[0])
+            state = _alt.solve_partial(prob.replace(x0=x0n), opts, U0=U,
+                                       duals=duals, X0=X0,
+                                       it_cap=compact_cap)
+            return state, x0n
+
+        def resume(state, it_cap=None):
+            with jax.default_matmul_precision("highest"):
+                return _alt._flat_while(prob, opts, state, it_cap)
+
+        def extract(state, x0n):
+            sol = _alt._finalize(prob, state)
+            return ((x0n, sol.X, sol.U, sol.duals),
+                    (sol.stats.status, sol.stats.viol,
+                     sol.stats.iterations))
+
+        sched = ((compact_cap, compact_block),) + tuple(compact_levels)
+
+        def compact(states, lvl, cum):
+            blk = sched[lvl][1]
+            done = states[10]
+            take = jnp.argsort(done.astype(jnp.int32), stable=True)[:blk]
+            sub = jax.tree_util.tree_map(lambda a: a[take], states)
+            if lvl + 1 < len(sched):
+                extra = sched[lvl + 1][0]
+                sub = jax.vmap(
+                    lambda s: resume(s, it_cap=cum + extra))(sub)
+                sub = compact(sub, lvl + 1, cum + extra)
+            else:
+                sub = jax.vmap(resume)(sub)
+            states = jax.tree_util.tree_map(
+                lambda a, b: a.at[take].set(b), states, sub)
+            return jax.vmap(resume)(states)  # catch-all; free when empty
+
+        def step_batch(carry, noise_i):
+            states, x0n = jax.vmap(partial_step)(carry, noise_i)
+            states = compact(states, 0, compact_cap)
+            return jax.vmap(extract)(states, x0n)
+
+        vstep = jax.jit(step_batch)
+    else:
+        vstep = jax.jit(jax.vmap(astep))
     rng = np.random.default_rng(0)
     noise = jnp.asarray(rng.standard_normal((T, B, prob.n)), dtype)
 
@@ -117,8 +176,14 @@ def flexsat_batched(B: int = 1024, T: int = 45):
                solves_per_s=round(B * T / dt, 1),
                success_rate=float(st.mean()),
                max_viol=float(np.nanmax(vl)),
-               mean_iters=float(it.mean()), wall_s=round(dt, 4),
+               mean_iters=float(it.mean()),
+               iters_p99=float(np.percentile(it, 99)),
+               wall_s=round(dt, 4),
                compile_s=round(compile_s, 1))
+    if compact_cap:
+        res["compact_it_cap"] = compact_cap
+        res["compact_block"] = compact_block
+        res["compact_levels"] = list(map(list, compact_levels))
     print(f"  flexsat: {res['solves_per_s']:.0f} solves/s (B={B}, "
           f"success {res['success_rate']:.4f}, iters {res['mean_iters']:.2f})",
           flush=True)
@@ -221,12 +286,21 @@ def main():
                    default=int(os.environ.get("BENCH_BATCH", 1024)))
     p.add_argument("--which", default="all",
                    choices=["all", "flexsat", "quadruped"])
+    # flexsat straggler compaction (round 5): -1 = measured default
+    # (cap 6, block 128, one (6,128) level — see flexsat_compact_r5.json),
+    # 0 = plain vmapped step
+    p.add_argument("--flexsat-compact-cap", type=int,
+                   default=int(os.environ.get("BENCH_FLEXSAT_CAP", -1)))
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
     meta = dict(device=str(jax.devices()[0]), dtype="float32")
     if args.which in ("all", "flexsat"):
         print("== flexsat_batched", flush=True)
-        res = dict(flexsat_batched(B=args.batch), **meta)
+        cap = args.flexsat_compact_cap
+        kw = (dict(compact_cap=6, compact_block=128,
+                   compact_levels=((6, 128),)) if cap == -1
+              else dict(compact_cap=cap))
+        res = dict(flexsat_batched(B=args.batch, **kw), **meta)
         with open(os.path.join(args.out, "flexsat_batched.json"), "w") as f:
             json.dump(res, f, indent=1)
     if args.which in ("all", "quadruped"):
