@@ -408,7 +408,8 @@ def simulate(cfg: MPCConfig, opts: SolverOptions, tf: float = 2.0,
 
 def simulate_host(cfg: MPCConfig, opts: SolverOptions, tf: float = 2.0,
                   backend: str = "altro", dtype=jnp.float64,
-                  plant: Optional[PlantParams] = None, native: bool = True):
+                  plant: Optional[PlantParams] = None, native: bool = True,
+                  probe=None):
     """Host-driven closed loop timing the MPC SOLVE separately from the
     1 kHz sim ticks, with the reference's solver-internal accounting:
     the quadruped table records ONLY ``stats.tsolve`` (ALTRO,
@@ -461,6 +462,19 @@ def simulate_host(cfg: MPCConfig, opts: SolverOptions, tf: float = 2.0,
         return prob_k, planner_fl
 
     jprep = jax.jit(prep_fn)
+    if probe is not None:
+        # stash each period's linearized problem for the probe callback
+        # (probe(k, prob_k, U_new) runs OUTSIDE the timed sections; used by
+        # tools/exp_osqp_oracle.py to replay the identical QP sequence
+        # through the OSQP-reference oracle)
+        _probe_pk = {}
+        _jprep0 = jprep
+
+        def jprep(state, t):
+            pk, fl = _jprep0(state, t)
+            _probe_pk["pk"] = pk
+            return pk, fl
+
     native_knot = isinstance(baseline0, native_qp.NativeKnotWork)
     native_ilqr = (backend == "altro" and native and native_qp.available())
 
@@ -573,6 +587,8 @@ def simulate_host(cfg: MPCConfig, opts: SolverOptions, tf: float = 2.0,
         mpc_ms.append((t2 - t1) * 1e3)
         state = state.replace(forces=U_new[0], U_prev=U_new,
                               planner_foot_loc=planner_fl)
+        if probe is not None:
+            probe(k, _probe_pk.get("pk"), U_new)
         f = state.forces
         t0 = _time.perf_counter()
         state = jticks(state, t)
