@@ -220,7 +220,9 @@ def _make_al_kernel(n, m, L, N1, alphas, block_meta):
             return pen
 
         def stage_cost(row, x, u, include_control):
-            """0.5 x'Qx + q'x (+ 0.5 u'Ru + r'u + u'Hx) + c at pair-row."""
+            """0.5 x'Qx + q'x (+ 0.5 u'Ru + r'u + u'Hx) + c at pair-row.
+            R/r/H stream UNPAIRED (control rows have no terminal knot), so
+            they are only read when include_control (row 0)."""
             jj = c_ref[0, row] * ones
             for i in range(n):
                 qx = q_ref[0, row, i] * ones
@@ -230,11 +232,11 @@ def _make_al_kernel(n, m, L, N1, alphas, block_meta):
                 jj = jj + x[i] * qx
             if include_control:
                 for i in range(m):
-                    ru = r_ref[0, row, i] * ones
+                    ru = r_ref[0, i] * ones
                     for j in range(m):
-                        ru = ru + 0.5 * R_ref[0, row, i, j] * u[j]
+                        ru = ru + 0.5 * R_ref[0, i, j] * u[j]
                     for j in range(n):
-                        ru = ru + H_ref[0, row, i, j] * x[j]
+                        ru = ru + H_ref[0, i, j] * x[j]
                     jj = jj + u[i] * ru
             return jj
 

@@ -419,6 +419,113 @@ def _ls_rollouts_fn(alphas: tuple):
 
 
 # ----------------------------------------------------------------------------
+# Fused line-search rollouts + AL merit (round 5)
+# ----------------------------------------------------------------------------
+
+def _al_merit_tail(blocks, lams, rho0, X, U):
+    """AL penalty part of the line-search merit:
+    sum over blocks of mask * |proj_polar(lam + rho c)|^2 / (2 rho).
+
+    This is the AL cost MINUS the rung-independent -|lam|^2/(2 rho) term
+    (constant across the ladder within one iteration: every use of the
+    merit in the solver is a difference or comparison between rungs, so
+    dropping it changes no decision while saving p ops/knot in the fused
+    kernel, whose arithmetic this matches)."""
+    pen = jnp.zeros((), X.dtype)
+    for con, lam in zip(blocks, lams):
+        c = con.evaluate(X, U)
+        ct = project_polar(con.cone, lam + rho0[:, None] * c)
+        pen = pen + jnp.sum(
+            con.mask * jnp.sum(ct * ct, axis=-1) / (2.0 * rho0))
+    return pen
+
+
+@functools.lru_cache(maxsize=32)
+def _ls_rollouts_al_fn(alphas: tuple):
+    """custom_vmap'd fused ladder rollout + AL merit, keyed by the static
+    alpha ladder. Single solve: scan rollouts + XLA merit; vmapped on TPU
+    with shared problem data: the fused Pallas kernel
+    (ops/rollout.batched_ls_rollout_al) that accumulates each rung's merit
+    in-kernel — removing the XLA-side per-rung cost/residual evaluation
+    (the largest remaining XLA piece of the iteration)."""
+    L = len(alphas)
+
+    def base_impl(alphas_arr, cost, dynA, dynB, dynd, blocks, Xb, Ub, K,
+                  dff, lams, rho0):
+        def one(alpha):
+            def body(x, inp):
+                xb, ub, K_k, d_k, A_k, B_k, dd_k = inp
+                u = ub + alpha * d_k + K_k @ (x - xb)
+                x1 = A_k @ x + B_k @ u + dd_k
+                return x1, (x, u)
+
+            xN, (Xh, U) = jax.lax.scan(
+                body, Xb[0], (Xb[:-1], Ub, K, dff, dynA, dynB, dynd),
+                unroll=_scan_unroll())
+            X = jnp.concatenate([Xh, xN[None]], axis=0)
+            J = cost.total(X, U) + _al_merit_tail(blocks, lams, rho0, X, U)
+            return X, U, J
+
+        return jax.vmap(one)(alphas_arr)
+
+    @jax.custom_batching.custom_vmap
+    def ls_rollouts_al(alphas_arr, cost, dynA, dynB, dynd, blocks, Xb, Ub,
+                       K, dff, lams, rho0):
+        return base_impl(alphas_arr, cost, dynA, dynB, dynd, blocks, Xb,
+                         Ub, K, dff, lams, rho0)
+
+    @ls_rollouts_al.def_vmap
+    def _rule(axis_size, in_batched, alphas_arr, cost, dynA, dynB, dynd,
+              blocks, Xb, Ub, K, dff, lams, rho0):
+        import os
+
+        from ..ops.rollout import batched_ls_rollout_al, rollout_al_supported
+
+        tl = jax.tree_util.tree_leaves
+        shared_unbatched = not any(tl((in_batched[1], in_batched[2],
+                                       in_batched[3], in_batched[4],
+                                       in_batched[5])))
+        lane_batched = (in_batched[6] and in_batched[7] and in_batched[8]
+                        and in_batched[9] and all(tl(in_batched[10]))
+                        and in_batched[11])
+        cones = tuple(c.cone for c in blocks)
+        n = Xb.shape[-1]
+        m = Ub.shape[-1]
+        use_pallas = (
+            not in_batched[0]
+            and shared_unbatched and lane_batched
+            and Xb.ndim == 3
+            and os.environ.get("ALTRO_TPU_PALLAS", "auto") != "0"
+            and jax.default_backend() not in ("cpu",)
+            and Xb.dtype == jnp.float32
+            and rollout_al_supported(n, m, axis_size, L, cones))
+        if use_pallas:
+            out = batched_ls_rollout_al(cost, dynA, dynB, dynd, blocks,
+                                        Xb, Ub, K, dff, lams, rho0, alphas)
+        else:
+            def bcast(tree, flags):
+                return jax.tree_util.tree_map(
+                    lambda a, b: a if b else jnp.broadcast_to(
+                        a, (axis_size,) + jnp.shape(a)),
+                    tree, flags)
+
+            args = [bcast(a, b) for a, b in zip(
+                (cost, dynA, dynB, dynd, blocks, Xb, Ub, K, dff, lams,
+                 rho0), in_batched[1:])]
+            out = jax.vmap(base_impl, in_axes=(None,) + (0,) * 11)(
+                alphas_arr, *args)
+        return out, (True, True, True)
+
+    def wrapper(cost, dynA, dynB, dynd, blocks, Xb, Ub, K, dff, lams,
+                rho0):
+        return ls_rollouts_al(jnp.asarray(alphas, Xb.dtype), cost, dynA,
+                              dynB, dynd, blocks, Xb, Ub, K, dff, lams,
+                              rho0)
+
+    return wrapper
+
+
+# ----------------------------------------------------------------------------
 # Forward closed-loop rollout
 # ----------------------------------------------------------------------------
 
@@ -680,34 +787,53 @@ def _loop_fns(prob: Problem, opts: SolverOptions, s0,
             # the kernel doesn't apply. ALTRO_TPU_FUSED=0 restores the
             # split path.
             import os as _os
+            ltv_affine = (isinstance(prob.dynamics, LTVDynamics)
+                          and all(getattr(c, "is_affine", False)
+                                  for c in prob.constraints))
             use_fused = (_os.environ.get("ALTRO_TPU_FUSED", "auto") != "0"
-                         and isinstance(prob.dynamics, LTVDynamics)
-                         and all(getattr(c, "is_affine", False)
-                                 for c in prob.constraints))
-            if use_fused:
-                lams = tuple(d.lam for d in duals)
+                         and ltv_affine)
+            # Fused ladder+AL-merit line search (round 5): the per-rung AL
+            # cost evaluation moves into the rollout kernel
+            # (ops/rollout.batched_ls_rollout_al) and the accepted rung's
+            # constraint residuals are recomputed ONCE post-selection
+            # instead of stored for every rung. Default ON off-CPU; the
+            # CPU default stays the classical path so the f64 iterate
+            # parity with the native C++ twin is bit-stable
+            # (ALTRO_TPU_LSFUSED=1/0 forces either way).
+            _lsf = _os.environ.get("ALTRO_TPU_LSFUSED", "auto")
+            use_lsfused = (_lsf != "0" and ltv_affine
+                           and (_lsf == "1"
+                                or jax.default_backend() not in ("cpu",)))
+            if use_fused or (use_lsfused and len(prob.constraints) > 1):
+                # Both fused paths read a single shared penalty schedule
+                # (rhos[0]). The solver keeps per-block penalties in
+                # lockstep (identical init + identical scaling), but a
+                # caller passing hand-built DualState with divergent
+                # per-block rho would get silently wrong results — poison
+                # the feedforward with NaN in that case so the wrongness
+                # is loud (line search rejects / solve reports failure)
+                # instead of silent.
                 rhos = tuple(d.rho for d in duals)
-                # The fused kernel reads a single shared penalty schedule
-                # (rhos[0]). The solver keeps per-block penalties in lockstep
-                # (identical init + identical scaling), but a caller passing
-                # hand-built DualState with divergent per-block rho would get
-                # silently wrong gains — poison the feedforward with NaN in
-                # that case so the wrongness is loud (line search rejects /
-                # solve reports failure) instead of silent.
                 if len(rhos) > 1:
                     rho_dev = sum(jnp.max(jnp.abs(r - rhos[0]))
                                   for r in rhos[1:])
                 else:
                     rho_dev = jnp.zeros((), X.dtype)
+            else:
+                rho_dev = None
+            if use_fused:
+                lams = tuple(d.lam for d in duals)
+                rhos = tuple(d.rho for d in duals)
                 Knew, dff, dV1, dV2 = expand_backward(
                     prob.cost, prob.dynamics.A, prob.dynamics.B,
                     prob.constraints, X, U, lams, rhos, reg)
-                dff = jnp.where(rho_dev > 0, jnp.nan, dff)
             else:
                 A, B, _ = prob.dynamics.linearize(X, U)
                 lx, lu, lxx, luu, lux = al_expansion(prob, duals, X, U)
                 Knew, dff, dV1, dV2 = backward_pass(
                     A, B, lx, lu, lxx, luu, lux, reg)
+            if rho_dev is not None:
+                dff = jnp.where(rho_dev > 0, jnp.nan, dff)
 
             # Gradient metric (parity with Altro's d-based gradient check).
             grad_new = jnp.max(
@@ -728,7 +854,16 @@ def _loop_fns(prob: Problem, opts: SolverOptions, s0,
                              for i in range(opts.iterations_linesearch)) \
                 + (0.0,)
             alphas = jnp.asarray(alphas_t, dtype)
-            if isinstance(prob.dynamics, LTVDynamics):
+            if use_lsfused:
+                dyn = prob.dynamics
+                lams2 = tuple(d.lam for d in duals)
+                rho0 = (duals[0].rho if duals
+                        else jnp.zeros((prob.N,), dtype))
+                Xts, Uts, Jts = _ls_rollouts_al_fn(alphas_t)(
+                    prob.cost, dyn.A, dyn.B, dyn.d, prob.constraints,
+                    X, U, Knew, dff, lams2, rho0)
+                Cts = CTts = None
+            elif isinstance(prob.dynamics, LTVDynamics):
                 dyn = prob.dynamics
                 Xts, Uts = _ls_rollouts_fn(alphas_t)(
                     dyn.A, dyn.B, dyn.d, X, U, Knew, dff)
@@ -753,13 +888,29 @@ def _loop_fns(prob: Problem, opts: SolverOptions, s0,
             Xn = jnp.where(accepted, Xts[idx], X)
             Un = jnp.where(accepted, Uts[idx], U)
             Jn = jnp.where(accepted, Jts[idx], J)
-            # accepted rung's constraint residuals / projected duals (the
-            # alpha=0 rung IS the current trajectory, so the rejected case
-            # selects rung -1)
-            cs_acc = tuple(jnp.where(accepted, Ct[idx], Ct[-1])
-                           for Ct in Cts)
-            cts_acc = tuple(jnp.where(accepted, Ct[idx], Ct[-1])
-                            for Ct in CTts)
+            if use_lsfused:
+                # the residuals move OUT of the ladder: one constraint
+                # pass on the ADOPTED trajectory instead of L+1 stored
+                # passes. The rejected case evaluates the KEPT (X, U)
+                # directly — strictly better than the classical path's
+                # alpha=0 re-roll, whose f32 rollout epsilon was the
+                # round-2 rho*eps NaN-snowball ingredient.
+                cs_l, cts_l = [], []
+                for con, dual in zip(prob.constraints, duals):
+                    c = con.evaluate(Xn, Un)
+                    ct = project_polar(con.cone,
+                                       dual.lam + dual.rho[:, None] * c)
+                    cs_l.append(c)
+                    cts_l.append(ct)
+                cs_acc, cts_acc = tuple(cs_l), tuple(cts_l)
+            else:
+                # accepted rung's constraint residuals / projected duals
+                # (the alpha=0 rung IS the current trajectory, so the
+                # rejected case selects rung -1)
+                cs_acc = tuple(jnp.where(accepted, Ct[idx], Ct[-1])
+                               for Ct in Cts)
+                cts_acc = tuple(jnp.where(accepted, Ct[idx], Ct[-1])
+                                for Ct in CTts)
 
             # Regularization schedule.
             reg_fail = jnp.clip(jnp.maximum(reg, opts.reg_min) * opts.reg_increase,
