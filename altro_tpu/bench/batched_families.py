@@ -190,15 +190,11 @@ def flexsat_batched(B: int = 1024, T: int = 45, compact_cap: int = 0,
     return res
 
 
-def quadruped_batched(B: int = 1024, rounds: int = 10,
-                      linearized_friction: bool = True):
-    """Batched quadruped trot-MPC per-solve throughput (table.tex role).
-
-    Instances: 8 contact schedules sampled across one trot cycle x B/8
-    initial states (x_des + 2 cm / 0.05 rad-scale noise), solved from the
-    reference's warm start (gravity-distributing stance forces, zero
-    duals). Each timing round re-perturbs x0.
-    """
+def quadruped_setup(B: int, linearized_friction: bool = True):
+    """Shared quadruped batched-bench construction: the per-lane problem
+    stack (8 contact schedules x B/8 lanes), warm-start controls, options,
+    and the x0 sampler — used by :func:`quadruped_batched` and the r5
+    attribution/compaction probes so they measure the identical config."""
     import altro_tpu as at
     from altro_tpu.models.quadruped import config, controller, planner
     from altro_tpu.models.quadruped.config import woofer as _w
@@ -239,13 +235,6 @@ def quadruped_batched(B: int = 1024, rounds: int = 10,
     fz = SPRUNG_MASS * 9.81 / 4.0
     u0 = jnp.zeros((cfg.N - 1, 12), dtype).at[:, 2::3].set(fz)
 
-    def solve_one(prob_k, x0):
-        p = prob_k.replace(x0=x0)
-        sol = at.solve(p, opts, U0=u0)
-        return sol.stats.status, sol.stats.viol, sol.stats.iterations
-
-    vsolve = jax.jit(jax.vmap(solve_one))
-
     rng = np.random.default_rng(3)
     scale = jnp.asarray(
         [.02, .02, .02, .05, .05, .05, .02, .02, .02, .05, .05, .05], dtype)
@@ -253,6 +242,67 @@ def quadruped_batched(B: int = 1024, rounds: int = 10,
     def x0s():
         return (x_des[None, :]
                 + jnp.asarray(rng.standard_normal((B, 12)), dtype) * scale)
+
+    return dict(prob_b=prob_b, u0=u0, opts=opts, x0s=x0s, cfg=cfg,
+                x_des=x_des)
+
+
+def quadruped_batched(B: int = 1024, rounds: int = 10,
+                      linearized_friction: bool = True,
+                      compact_cap: int = 0, compact_block: int = 128):
+    """Batched quadruped trot-MPC per-solve throughput (table.tex role).
+
+    Instances: 8 contact schedules sampled across one trot cycle x B/8
+    initial states (x_des + 2 cm / 0.05 rad-scale noise), solved from the
+    reference's warm start (gravity-distributing stance forces, zero
+    duals). Each timing round re-perturbs x0.
+
+    ``compact_cap`` > 0 enables device-side straggler compaction (round
+    5): run every lane to the cap, gather ``compact_block`` unconverged
+    lanes, finish them, scatter, catch-all — identical results, batch
+    wall no longer follows the straggler tail.
+    """
+    import altro_tpu as at
+
+    su = quadruped_setup(B, linearized_friction)
+    prob_b, u0, opts, x0s = su["prob_b"], su["u0"], su["opts"], su["x0s"]
+
+    if compact_cap:
+        from altro_tpu.solver import altro as _alt
+
+        def partial_one(prob_k, x0):
+            p = prob_k.replace(x0=x0)
+            return _alt.solve_partial(p, opts, U0=u0, it_cap=compact_cap)
+
+        def resume_one(prob_k, state):
+            with jax.default_matmul_precision("highest"):
+                return _alt._flat_while(prob_k, opts, state, None)
+
+        def extract_one(prob_k, state):
+            sol = _alt._finalize(prob_k, state)
+            return sol.stats.status, sol.stats.viol, sol.stats.iterations
+
+        def solve_batch(prob_bb, x0_b):
+            states = jax.vmap(partial_one)(prob_bb, x0_b)
+            done = states[10]
+            take = jnp.argsort(done.astype(jnp.int32),
+                               stable=True)[:compact_block]
+            subp = jax.tree_util.tree_map(lambda a: a[take], prob_bb)
+            sub = jax.tree_util.tree_map(lambda a: a[take], states)
+            sub = jax.vmap(resume_one)(subp, sub)
+            states = jax.tree_util.tree_map(
+                lambda a, b: a.at[take].set(b), states, sub)
+            states = jax.vmap(resume_one)(prob_bb, states)  # catch-all
+            return jax.vmap(extract_one)(prob_bb, states)
+
+        vsolve = jax.jit(solve_batch)
+    else:
+        def solve_one(prob_k, x0):
+            p = prob_k.replace(x0=x0)
+            sol = at.solve(p, opts, U0=u0)
+            return sol.stats.status, sol.stats.viol, sol.stats.iterations
+
+        vsolve = jax.jit(jax.vmap(solve_one))
 
     out = vsolve(prob_b, x0s())
     jax.block_until_ready(out[0])  # compile
@@ -271,7 +321,13 @@ def quadruped_batched(B: int = 1024, rounds: int = 10,
     res = dict(label=f"quadruped_trot_mpc_N15_{mode}", batch=B,
                rounds=rounds, solves_per_s=round(B * rounds / dt, 1),
                success_rate=float(st.mean()), max_viol=float(np.nanmax(vl)),
-               mean_iters=float(it.mean()), wall_s=round(dt, 4))
+               mean_iters=float(it.mean()),
+               iters_max=int(it.max()),
+               iters_p99=float(np.percentile(it, 99)),
+               wall_s=round(dt, 4))
+    if compact_cap:
+        res["compact_it_cap"] = compact_cap
+        res["compact_block"] = compact_block
     print(f"  quadruped[{mode}]: {res['solves_per_s']:.0f} solves/s "
           f"(B={B}, success {res['success_rate']:.4f}, "
           f"viol {res['max_viol']:.1e}, iters {res['mean_iters']:.2f})",
