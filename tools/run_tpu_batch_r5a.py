@@ -76,6 +76,11 @@ def quad_attr():
     m.main(512, "qp")
 
 
+def quad_grouped():
+    import tools.exp_r5_quad_grouped as m
+    m.main(128, "qp")
+
+
 def flexsat_compact():
     from altro_tpu.bench.batched_families import flexsat_batched
     rows = []
@@ -124,7 +129,10 @@ for nm, fn in (("lsfused_ab", lsfused_ab),
                ("rocket_gap_p1", rocket_gap_p1),
                ("conic_overhead", conic_overhead),
                ("quad_attr", quad_attr),
+               ("quad_grouped", quad_grouped),
                ("flexsat_compact", flexsat_compact),
+               ("roofline", lambda: __import__(
+                   "tools.exp_r5_roofline", fromlist=["main"]).main()),
                ("batched_conic", batched_conic),
                ("cpu_phase2s", cpu_phase2s)):
     stage(nm, fn)
