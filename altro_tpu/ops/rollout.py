@@ -223,7 +223,7 @@ def _make_al_kernel(n, m, L, N1, alphas, block_meta):
             """0.5 x'Qx + q'x (+ 0.5 u'Ru + r'u + u'Hx) + c at pair-row.
             R/r/H stream UNPAIRED (control rows have no terminal knot), so
             they are only read when include_control (row 0)."""
-            jj = c_ref[0, row] * ones
+            jj = c_ref[0, row, 0] * ones
             for i in range(n):
                 qx = q_ref[0, row, i] * ones
                 for j in range(n):
@@ -232,7 +232,7 @@ def _make_al_kernel(n, m, L, N1, alphas, block_meta):
                 jj = jj + x[i] * qx
             if include_control:
                 for i in range(m):
-                    ru = r_ref[0, i] * ones
+                    ru = r_ref[0, 0, i] * ones
                     for j in range(m):
                         ru = ru + 0.5 * R_ref[0, i, j] * u[j]
                     for j in range(n):
@@ -264,7 +264,7 @@ def _make_al_kernel(n, m, L, N1, alphas, block_meta):
                 + al_penalty(0, x, u, True)
             # x+ = A x + B u + dd (shared scalars)
             for i in range(n):
-                xi = dd_ref[0, i] * ones \
+                xi = dd_ref[0, 0, i] * ones \
                     + sum(A_ref[0, i, j] * x[j] for j in range(n)) \
                     + sum(B_ref[0, i, j] * u[j] for j in range(m))
                 X_ref[0, l, i, :] = xi
@@ -318,9 +318,13 @@ def batched_ls_rollout_al(cost, dynA, dynB, dynd, blocks, Xbar, Ubar, K, d,
         return jnp.stack([x[:-1], x[1:]], axis=1)
 
     # shared scalar streams (SMEM; paired so terminal rows ride the last
-    # streamed block)
-    inputs = [pair(cost.Q), pair(cost.q), cost.R[:N1], cost.r[:N1],
-              cost.H[:N1], pair(cost.c), dynA, dynB, dynd]
+    # streamed block). Rank-2 streams get a unit middle/trailing axis:
+    # Mosaic requires an SMEM block's last two dims to equal the array's
+    # (or be 8/128-aligned), so [N1, m] with block (1, m) is rejected
+    # while [N1, 1, m] with block (1, 1, m) lowers fine.
+    inputs = [pair(cost.Q), pair(cost.q), cost.R[:N1],
+              cost.r[:N1, None, :], cost.H[:N1],
+              pair(cost.c)[:, :, None], dynA, dynB, dynd[:, None, :]]
     block_meta = tuple((int(c.p), c.cone) for c in blocks)
     for c in blocks:
         inputs += [pair(c.Cx), pair(c.Cu), pair(c.b), pair(c.mask[:, None])]
@@ -341,8 +345,8 @@ def batched_ls_rollout_al(cost, dynA, dynB, dynd, blocks, Xbar, Ubar, K, d,
             lambda b, k: (k,) + (0,) * len(s) + (b,),
             memory_space=pltpu.VMEM)
 
-    in_specs = [sh(2, n, n), sh(2, n), sh(m, m), sh(m), sh(m, n), sh(2),
-                sh(n, n), sh(n, m), sh(n)]
+    in_specs = [sh(2, n, n), sh(2, n), sh(m, m), sh(1, m), sh(m, n),
+                sh(2, 1), sh(n, n), sh(n, m), sh(1, n)]
     for (p, _) in block_meta:
         in_specs += [sh(2, p, n), sh(2, p, m), sh(2, p), sh(2, 1)]
     in_specs += [ln(n), ln(m), ln(m, n), ln(m), ln(2, 1)]

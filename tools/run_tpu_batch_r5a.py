@@ -44,16 +44,24 @@ def stage(name, fn):
 
 def lsfused_ab():
     import tools.exp_r5_lsfused_ab as m
-    m.main()
-    # pin the default OFF if the fused path lost everywhere it succeeded
-    with open("results_tpu/lsfused_ab.json") as f:
-        res = json.load(f)
-    wins = [v.get("speedup", 0) > 1.0 for v in res.values()
-            if isinstance(v, dict) and "speedup" in v]
-    if not wins or not any(wins):
-        print("lsfused lost everywhere — pinning ALTRO_TPU_LSFUSED=0",
-              flush=True)
-        os.environ["ALTRO_TPU_LSFUSED"] = "0"
+    try:
+        m.main()
+    finally:
+        # pin the default OFF if the fused path lost (or failed to
+        # compile) everywhere — later stages must not inherit a broken
+        # default path
+        wins = []
+        try:
+            with open("results_tpu/lsfused_ab.json") as f:
+                res = json.load(f)
+            wins = [v.get("speedup", 0) > 1.0 for v in res.values()
+                    if isinstance(v, dict) and "speedup" in v]
+        except Exception:
+            pass
+        if not wins or not any(wins):
+            print("lsfused lost/failed everywhere — pinning "
+                  "ALTRO_TPU_LSFUSED=0", flush=True)
+            os.environ["ALTRO_TPU_LSFUSED"] = "0"
 
 
 def fused_check_p1():
