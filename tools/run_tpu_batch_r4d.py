@@ -1,5 +1,12 @@
 """Fourth round-4 TPU batch: the fused-SOC expansion kernel on hardware.
 
+SUPERSEDED (round 5): stage 1's dU check was a sanity bound only — it
+could not catch a fused-kernel bug that moves solutions to different
+feasible points. The standing gate is now bench/fused_check.py, which
+scores fused and unfused solutions of identical instances under the f64
+TRUE cost per lane (all 1024 lanes, rocket AND grasp) and fails on
+regression. Kept for round-4 provenance.
+
 1. validate: one rocket warm step at B=1024 with the fused SOC kernel vs
    ALTRO_TPU_FUSED=0 — controls must agree to f32 kernel-arithmetic level
    and the step must get FASTER (results_tpu/fused_soc_check.json). Runs
