@@ -796,14 +796,22 @@ def _loop_fns(prob: Problem, opts: SolverOptions, s0,
             # cost evaluation moves into the rollout kernel
             # (ops/rollout.batched_ls_rollout_al) and the accepted rung's
             # constraint residuals are recomputed ONCE post-selection
-            # instead of stored for every rung. Default ON off-CPU; the
-            # CPU default stays the classical path so the f64 iterate
-            # parity with the native C++ twin is bit-stable
-            # (ALTRO_TPU_LSFUSED=1/0 forces either way).
-            _lsf = _os.environ.get("ALTRO_TPU_LSFUSED", "auto")
+            # instead of stored for every rung. Auto default: ON off-CPU
+            # for MULTI-BLOCK constraint sets only — the same-claim A/B
+            # (results_tpu/lsfused_ab.json) measures 2.0x rocket / 1.5x
+            # grasp but 0.82x on the single-bound-block flagship. The CPU
+            # default stays the classical path so the f64 iterate parity
+            # with the native C++ twin is bit-stable. opts.ls_fused
+            # ("auto"/"on"/"off") pins per problem family;
+            # ALTRO_TPU_LSFUSED=1/0 overrides everything.
+            _lsf = _os.environ.get("ALTRO_TPU_LSFUSED", "")
+            if _lsf not in ("0", "1"):
+                _lsf = {"on": "1", "off": "0"}.get(
+                    getattr(opts, "ls_fused", "auto"), "auto")
             use_lsfused = (_lsf != "0" and ltv_affine
                            and (_lsf == "1"
-                                or jax.default_backend() not in ("cpu",)))
+                                or (jax.default_backend() not in ("cpu",)
+                                    and len(prob.constraints) > 1)))
             if use_fused or (use_lsfused and len(prob.constraints) > 1):
                 # Both fused paths read a single shared penalty schedule
                 # (rhos[0]). The solver keeps per-block penalties in

@@ -55,6 +55,16 @@ class SolverOptions:
     reset_duals: bool = struct.field(pytree_node=False, default=False)
     reset_penalties: bool = struct.field(pytree_node=False, default=True)
 
+    # Fused ladder-rollout + AL-merit line search (ops/rollout
+    # batched_ls_rollout_al): "auto" | "on" | "off". Auto engages it on
+    # TPU for multi-block constraint sets only — the measured A/B
+    # (results_tpu/lsfused_ab.json, one claim) is 2.0x rocket / 1.5x
+    # grasp (3+ blocks, AL-cost eval dominated the iteration) vs 0.82x
+    # flagship (single bound block, where the extra in-kernel merit
+    # arithmetic outweighs the saved XLA cost pass). The
+    # ALTRO_TPU_LSFUSED env var (0/1) overrides this option either way.
+    ls_fused: str = struct.field(pytree_node=False, default="auto")
+
     # (An O(log N) associative-scan backward pass was built, measured, and
     # DELETED in round 3 — it lost at every (N, B) incl. B=1/N=1001; the
     # numbers live in results_tpu/parallel_riccati.json and the analysis in
