@@ -249,7 +249,8 @@ def quadruped_setup(B: int, linearized_friction: bool = True):
 
 def quadruped_batched(B: int = 1024, rounds: int = 10,
                       linearized_friction: bool = True,
-                      compact_cap: int = 0, compact_block: int = 128):
+                      compact_cap: int = 0, compact_block: int = 128,
+                      grouped: bool = False):
     """Batched quadruped trot-MPC per-solve throughput (table.tex role).
 
     Instances: 8 contact schedules sampled across one trot cycle x B/8
@@ -261,13 +262,42 @@ def quadruped_batched(B: int = 1024, rounds: int = 10,
     5): run every lane to the cap, gather ``compact_block`` unconverged
     lanes, finish them, scatter, catch-all — identical results, batch
     wall no longer follows the straggler tail.
+
+    ``grouped`` (round 5) restructures the flat per-lane vmap as
+    vmap(8 schedules) over vmap(B/8 lanes): the inner vmap then sees
+    SHARED problem data, so the fused SMEM-shared-data Pallas kernels
+    engage (per schedule; the outer vmap batches the pallas_call via the
+    grid-prepend batching rule) instead of the slow per-lane-data XLA
+    path. Measured 5.78x at B=1024 QP (results_tpu/quad_grouped_r5.json;
+    iteration agreement 96.6% with the flat path — f32 kernel-order
+    effects only, success identical).
     """
     import altro_tpu as at
 
     su = quadruped_setup(B, linearized_friction)
     prob_b, u0, opts, x0s = su["prob_b"], su["u0"], su["opts"], su["x0s"]
 
-    if compact_cap:
+    if grouped and compact_cap:
+        raise ValueError("grouped nested-vmap and straggler compaction "
+                         "are mutually exclusive (the compaction gather "
+                         "would re-mix schedules into per-lane data)")
+    if grouped:
+        n_sched = 8
+        reps = B // n_sched
+        prob_s = jax.tree_util.tree_map(lambda a: a[::reps], prob_b)
+
+        def solve_one_g(prob_k, x0):
+            sol = at.solve(prob_k.replace(x0=x0), opts, U0=u0)
+            return sol.stats.status, sol.stats.viol, sol.stats.iterations
+
+        jgrouped = jax.jit(jax.vmap(jax.vmap(solve_one_g, in_axes=(None, 0)),
+                                    in_axes=(0, 0)))
+
+        def vsolve(pb, x0):
+            out = jgrouped(prob_s, x0.reshape(n_sched, reps, -1))
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape(B, *a.shape[2:]), out)
+    elif compact_cap:
         from altro_tpu.solver import altro as _alt
 
         def partial_one(prob_k, x0):
@@ -328,6 +358,8 @@ def quadruped_batched(B: int = 1024, rounds: int = 10,
     if compact_cap:
         res["compact_it_cap"] = compact_cap
         res["compact_block"] = compact_block
+    if grouped:
+        res["grouped"] = True
     print(f"  quadruped[{mode}]: {res['solves_per_s']:.0f} solves/s "
           f"(B={B}, success {res['success_rate']:.4f}, "
           f"viol {res['max_viol']:.1e}, iters {res['mean_iters']:.2f})",

@@ -98,7 +98,9 @@ def main(reps=128, mode="qp"):
     res["solves_per_s_grouped"] = round(B / (res["grouped_ms"] / 1e3), 1)
     res["device"] = str(jax.devices()[0])
     os.makedirs("results_tpu", exist_ok=True)
-    with open("results_tpu/quad_grouped_r5.json", "w") as f:
+    out = ("results_tpu/quad_grouped_r5.json" if mode == "qp"
+           else f"results_tpu/quad_grouped_{mode}_r5.json")
+    with open(out, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res, indent=1), flush=True)
 

@@ -41,7 +41,7 @@ VARIANTS = (
 )
 
 
-def phase1(out_npz, B=B_DEFAULT):
+def phase1(out_npz, B=B_DEFAULT, variants=VARIANTS):
     import jax
     import jax.numpy as jnp
 
@@ -52,7 +52,7 @@ def phase1(out_npz, B=B_DEFAULT):
     save = {}
     track = None
     tight_solver = None
-    for vname, ov in VARIANTS:
+    for vname, ov in variants:
         su = rocket_setup(jnp.float32, opts_override=ov, track=track)
         track = (su["X_track"], su["U_track"])
         if tight_solver is None:
@@ -87,7 +87,8 @@ def phase1(out_npz, B=B_DEFAULT):
     np.savez(out_npz, **save)
 
 
-def phase2(in_npz, out_json, truth_worst=8):
+def phase2(in_npz, out_json, truth_worst=8, variants=VARIANTS,
+           extra_rows=None):
     import jax
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
@@ -122,7 +123,7 @@ def phase2(in_npz, out_json, truth_worst=8):
 
     res = dict(config=dict(steps=T_STEPS, windows=list(WINDOWS)),
                variants={})
-    for vname, ov in VARIANTS:
+    for vname, ov in variants:
         if f"{vname}_f{WINDOWS[0]}_x0" not in data:
             continue
         per_win = {}
@@ -144,6 +145,7 @@ def phase2(in_npz, out_json, truth_worst=8):
             worst += [(float(g[i]), int(k), int(i)) for i in order[:4]]
         worst.sort(reverse=True)
         row = dict(override=ov, windows=per_win,
+                   **((extra_rows or {}).get(vname, {})),
                    gap_max=max(w["gap_max"] for w in per_win.values()),
                    gap_mean=float(np.mean(
                        [w["gap_mean"] for w in per_win.values()])),
