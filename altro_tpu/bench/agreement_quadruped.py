@@ -90,29 +90,77 @@ def _instances(dtype, linearized_friction: bool, B: int):
 
 
 def phase1_tpu(out_npz: str, B: int = B_DEFAULT):
+    """f32 solves on TPU. Round 5: the GROUPED nested-vmap layout (the
+    shipped quadruped_batched row since the 5.78x grouped result,
+    results_tpu/quad_grouped_r5.json) is the gated path — its solutions
+    feed the f64 truth sample — and ALL lanes of both layouts are scored
+    against a TIGHT f32 re-solve (cost_tolerance 1e-6, classical inner
+    loop) under the true cost, the conic families' full-batch truth-lite
+    pattern (agreement_conic.py)."""
     import jax
     import jax.numpy as jnp
 
     import altro_tpu as at
 
     save = {}
+    n_sched = 8
+    reps = B // n_sched
     for lin in (True, False):
         prob_b, x0s, u0, opts = _instances(jnp.float32, lin, B)
+        opts_tight = opts.replace(
+            cost_tolerance=1e-6, gradient_tolerance=1e-8,
+            constraint_tolerance=1e-4, iterations_outer=30,
+            iterations_inner=50)
 
-        def solve_one(prob_k, x0):
-            sol = at.solve(prob_k.replace(x0=x0), opts, U0=u0)
+        def solve_one(prob_k, x0, o=opts):
+            sol = at.solve(prob_k.replace(x0=x0), o, U0=u0)
             return sol.U, sol.stats.status, sol.stats.viol
 
-        U, st, vl = jax.jit(jax.vmap(solve_one))(prob_b, x0s)
-        jax.block_until_ready(U)
-        idx = np.linspace(0, B - 1, SAMPLE).astype(int)
+        def traj_cost(prob_k, x0, U):
+            X = prob_k.dynamics.rollout(x0, U)
+            return prob_k.cost.total(X, U)
+
+        prob_s = jax.tree_util.tree_map(lambda a: a[::reps], prob_b)
+        jflat = jax.jit(jax.vmap(solve_one))
+        jgrouped = jax.jit(jax.vmap(jax.vmap(solve_one, in_axes=(None, 0)),
+                                    in_axes=(0, 0)))
+        jtightg = jax.jit(jax.vmap(jax.vmap(
+            lambda pk, x0: solve_one(pk, x0, opts_tight),
+            in_axes=(None, 0)), in_axes=(0, 0)))
+        jcosts = jax.jit(jax.vmap(jax.vmap(traj_cost, in_axes=(None, 0, 0)),
+                                  in_axes=(0, 0, 0)))
+
+        x0_g = x0s.reshape(n_sched, reps, -1)
+        Uf, stf, vlf = jflat(prob_b, x0s)
+        Ug, stg, vlg = jgrouped(prob_s, x0_g)
+        Ut, stt, _ = jtightg(prob_s, x0_g)
+        Jf = jcosts(prob_s, x0_g, np.reshape(np.asarray(Uf),
+                                             Ug.shape))
+        Jg = jcosts(prob_s, x0_g, Ug)
+        Jt = jcosts(prob_s, x0_g, Ut)
+        jax.block_until_ready(Jt)
+        den = jnp.maximum(jnp.abs(Jt), 1e-12)
         key = "qp" if lin else "socp"
+        save[f"{key}_gap_flat"] = np.asarray((Jf - Jt) / den).ravel()
+        save[f"{key}_gap_grouped"] = np.asarray((Jg - Jt) / den).ravel()
+        save[f"{key}_tight_status"] = np.asarray(stt).ravel()
+
+        # the f64 truth sample anchors the GROUPED solutions (shipped path)
+        U = np.asarray(Ug).reshape(B, *np.asarray(Ug).shape[2:])
+        st = np.asarray(stg).ravel()
+        vl = np.asarray(vlg).ravel()
+        idx = np.linspace(0, B - 1, SAMPLE).astype(int)
         save[f"{key}_idx"] = idx
-        save[f"{key}_U"] = np.asarray(U)[idx]
-        save[f"{key}_status"] = np.asarray(st)
-        save[f"{key}_viol"] = np.asarray(vl)
-        print(f"phase1 {key}: success {float(np.mean(np.asarray(st))):.4f} "
-              f"max_viol {float(np.max(np.asarray(vl))):.2e}", flush=True)
+        save[f"{key}_U"] = U[idx]
+        save[f"{key}_status"] = st
+        save[f"{key}_viol"] = vl
+        save[f"{key}_status_flat"] = np.asarray(stf)
+        gg = save[f"{key}_gap_grouped"]
+        print(f"phase1 {key}: success grouped {float(st.mean()):.4f} / "
+              f"flat {float(np.asarray(stf).mean()):.4f} max_viol "
+              f"{float(vl.max()):.2e} | fullbatch gap vs tight-f32: "
+              f"max {gg.max():.2e} p99 {np.percentile(gg, 99):.2e}",
+              flush=True)
     np.savez(out_npz, **save)
 
 
@@ -168,6 +216,14 @@ def phase2_cpu(in_npz: str, out_json: str, B: int = B_DEFAULT):
             cost_rel_gap_max=float(np.max(gaps)),
             cost_rel_gap_mean=float(np.mean(gaps)),
             truth_success=int(min(stts)))
+        for variant in ("grouped", "flat"):
+            gkey = f"{key}_gap_{variant}"
+            if gkey in data:
+                g = data[gkey]
+                row[f"fullbatch_{variant}"] = dict(
+                    lanes=int(g.size), gap_max=float(g.max()),
+                    gap_p99=float(np.percentile(g, 99)),
+                    gap_mean=float(g.mean()))
         res["modes"][key] = row
         print(f"phase2 {key}: err_U {row['err_U_max']:.2e} u0 "
               f"{row['err_u0_max']:.2e} cost_gap "
