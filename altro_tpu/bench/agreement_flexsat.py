@@ -35,10 +35,15 @@ def _setup(dtype):
     from altro_tpu.models import flexible_satellite as fs
 
     prob = fs.flexsat_problem(dtype=dtype)
+    # mirrors bench/batched_families.flexsat_batched's shipped config
+    # (incl. ls_fused="on" — the r5 A/B winner, flexsat_lsf_ab_r5.json —
+    # so the gated path is the timed path; on CPU "on" selects the same
+    # math via the XLA composition of the fused rollout, and the f64
+    # truth solves to 1e-7 regardless)
     opts = at.SolverOptions(
         cost_tolerance=1e-4, constraint_tolerance=1e-4,
         penalty_initial=1e3, penalty_scaling=100.0,
-        early_exact_tol=1e-3, iterations_linesearch=5)
+        early_exact_tol=1e-3, iterations_linesearch=5, ls_fused="on")
     return prob, opts
 
 

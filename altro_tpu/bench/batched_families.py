@@ -61,10 +61,15 @@ def flexsat_batched(B: int = 1024, T: int = 45, compact_cap: int = 0,
 
     dtype = jnp.float32
     prob = fs.flexsat_problem(dtype=dtype)
+    # ls_fused="on": the multi-block auto heuristic turns the fused
+    # AL-merit line search OFF for the single-bound-block flexsat, but the
+    # same-claim A/B grid (results_tpu/flexsat_lsf_ab_r5.json) measures it
+    # winning here: 42.7k vs 24.7k solves/s uncompacted, 45.0k vs 43.4k at
+    # the shipped compaction cap 8.
     opts = at.SolverOptions(
         cost_tolerance=1e-4, constraint_tolerance=1e-4,
         penalty_initial=1e3, penalty_scaling=100.0,
-        early_exact_tol=1e-3, iterations_linesearch=5)
+        early_exact_tol=1e-3, iterations_linesearch=5, ls_fused="on")
     print("  cold solve (N=80, f32)...", flush=True)
     sol0 = jax.jit(at.solve)(prob, opts)
     jax.block_until_ready(sol0.X)
@@ -375,8 +380,8 @@ def main():
     p.add_argument("--which", default="all",
                    choices=["all", "flexsat", "quadruped"])
     # flexsat straggler compaction (round 5): -1 = measured default
-    # (cap 6, block 128, one (6,128) level — see flexsat_compact_r5.json),
-    # 0 = plain vmapped step
+    # (cap 8, block 256, one (8,128) level — the winning cell of the
+    # ls_fused x cap grid, flexsat_lsf_ab_r5.json), 0 = plain vmapped step
     p.add_argument("--flexsat-compact-cap", type=int,
                    default=int(os.environ.get("BENCH_FLEXSAT_CAP", -1)))
     args = p.parse_args()
@@ -385,8 +390,8 @@ def main():
     if args.which in ("all", "flexsat"):
         print("== flexsat_batched", flush=True)
         cap = args.flexsat_compact_cap
-        kw = (dict(compact_cap=6, compact_block=128,
-                   compact_levels=((6, 128),)) if cap == -1
+        kw = (dict(compact_cap=8, compact_block=256,
+                   compact_levels=((8, 128),)) if cap == -1
               else dict(compact_cap=cap))
         res = dict(flexsat_batched(B=args.batch, **kw), **meta)
         with open(os.path.join(args.out, "flexsat_batched.json"), "w") as f:
@@ -394,12 +399,14 @@ def main():
     if args.which in ("all", "quadruped"):
         print("== quadruped_batched", flush=True)
         rows = {}
-        # B=512: at n=m=12 (vs the flagship's m=6) the lane-packed Pallas
-        # kernels' per-knot slabs exceed the 16M scoped-vmem limit at
-        # B=1024 (20.7M); 512 lanes fit and stay a multiple of 128
-        Bq = min(args.batch, 512)
+        # grouped nested-vmap is the row of record since round 5 (5.78x
+        # over the flat per-lane layout, results_tpu/quad_grouped_r5.json;
+        # the inner vmap sees shared problem data so the fused kernels
+        # engage per schedule). B=1024 fits grouped: the inner batch is
+        # B/8 = 128 lanes/schedule.
         for lin in (True, False):
-            r = quadruped_batched(B=Bq, linearized_friction=lin)
+            r = quadruped_batched(B=args.batch, linearized_friction=lin,
+                                  grouped=True)
             rows[r["label"]] = r
         with open(os.path.join(args.out, "quadruped_batched.json"),
                   "w") as f:
