@@ -111,7 +111,8 @@ def _make_step(su):
     if su["constraints_fn"] is not None:
         kw["constraints_fn"] = su["constraints_fn"]
     return make_mpc_step(su["prob_mpc"], su["opts"], su["X_track"],
-                         su["U_track"], shared_k=True, **kw)
+                         su["U_track"], shared_k=True,
+                         warm_start=su.get("warm_start", "shift"), **kw)
 
 
 def _tight_batch_solver(su_tight):

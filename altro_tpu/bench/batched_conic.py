@@ -103,7 +103,7 @@ def _throughput(step, init_carry, noise, label, batch_step=None):
 
 
 def rocket_setup(dtype=None, N_mpc: int = 21, opts_override: dict = None,
-                 track=None):
+                 track=None, warm_start: str = "shift"):
     """Shared rocket MPC-bench construction (problem, warm-solve options,
     tracking reference) used by both :func:`rocket_batched` and the conic
     agreement artifact (bench/agreement_conic.py) so the two always measure
@@ -194,35 +194,39 @@ def rocket_setup(dtype=None, N_mpc: int = 21, opts_override: dict = None,
     return dict(prob_mpc=prob_mpc, opts=opts, X_track=X_track,
                 U_track=U_track, constraints_fn=None,
                 noise_model=_rocket.rocket_noise_model(), noise_dim=6,
-                cold_status=cold_status)
+                cold_status=cold_status, warm_start=warm_start)
 
 
 def rocket_batched(B: int = 1024, T: int = 30, N_mpc: int = 21,
                    opts_override: dict = None, compact_cap: int = 0,
-                   compact_block: int = 128, compact_levels: tuple = ()):
+                   compact_block: int = 128, compact_levels: tuple = (),
+                   warm_start: str = "shift"):
     """Rocket soft-landing SOC MPC (max-thrust + thrust-angle + glideslope
     cones; reference MPC config run_simple_rocket.jl:118-132), batched over
     scenarios differing in process noise (wp=1e-3, wv=1e-2)."""
     from altro_tpu.mpc import make_mpc_step
 
     dtype = jnp.float32
-    su = rocket_setup(dtype, N_mpc=N_mpc, opts_override=opts_override)
+    su = rocket_setup(dtype, N_mpc=N_mpc, opts_override=opts_override,
+                      warm_start=warm_start)
     prob_mpc, opts = su["prob_mpc"], su["opts"]
 
     rng = np.random.default_rng(1)
     noise = jnp.asarray(rng.standard_normal((T, B, 6)), dtype)
+    ws = su.get("warm_start", "shift")
     step, init_carry = make_mpc_step(
         prob_mpc, opts, su["X_track"], su["U_track"],
-        noise_model=su["noise_model"], shared_k=True)
+        noise_model=su["noise_model"], shared_k=True, warm_start=ws)
     batch_step = None
     if compact_cap:
         from altro_tpu.mpc import make_mpc_step_device_compacted
         batch_step, init_carry = make_mpc_step_device_compacted(
             prob_mpc, opts, su["X_track"], su["U_track"],
             noise_model=su["noise_model"], it_cap=compact_cap,
-            block=compact_block, levels=compact_levels)
+            block=compact_block, levels=compact_levels, warm_start=ws)
     res = _throughput(step, init_carry, noise, "rocket_soc_mpc_N21",
                       batch_step=batch_step)
+    res["warm_start"] = ws
     res["cold_status"] = su["cold_status"]
     if compact_cap:
         res["compact_it_cap"] = compact_cap
@@ -285,7 +289,7 @@ def grasp_setup(dtype=None, N_mpc: int = 21, opts_override: dict = None,
     fn = lambda k: grasp.grasp_constraints(o, N_mpc, k, dtype=dtype)
     return dict(prob_mpc=prob_mpc, opts=opts, X_track=X_track,
                 U_track=U_track, constraints_fn=fn, noise_model=None,
-                noise_dim=6, cold_status=cold_status)
+                noise_dim=6, cold_status=cold_status, warm_start="shift")
 
 
 def grasp_batched(B: int = 1024, T: int = 15, N_mpc: int = 21,
@@ -302,15 +306,17 @@ def grasp_batched(B: int = 1024, T: int = 15, N_mpc: int = 21,
 
     rng = np.random.default_rng(0)
     noise = jnp.asarray(rng.standard_normal((T, B, 6)), dtype)
+    ws = su.get("warm_start", "shift")
     step, init_carry = make_mpc_step(prob_mpc, opts, su["X_track"],
-                                     su["U_track"],
-                                     constraints_fn=fn, shared_k=True)
+                                     su["U_track"], constraints_fn=fn,
+                                     shared_k=True, warm_start=ws)
     batch_step = None
     if compact_cap:
         from altro_tpu.mpc import make_mpc_step_device_compacted
         batch_step, init_carry = make_mpc_step_device_compacted(
             prob_mpc, opts, su["X_track"], su["U_track"], constraints_fn=fn,
-            it_cap=compact_cap, block=compact_block, levels=compact_levels)
+            it_cap=compact_cap, block=compact_block, levels=compact_levels,
+            warm_start=ws)
     res = _throughput(step, init_carry, noise, "grasp_tv_soc_mpc_N21",
                       batch_step=batch_step)
     if compact_cap:

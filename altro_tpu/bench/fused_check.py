@@ -73,7 +73,7 @@ def phase1_tpu(out_npz: str, B: int = B_DEFAULT):
         vsteps = {}
         step, init_carry = make_mpc_step(
             su["prob_mpc"], su["opts"], su["X_track"], su["U_track"],
-            shared_k=True, **kw)
+            shared_k=True, warm_start=su.get("warm_start", "shift"), **kw)
         rng = np.random.default_rng(1 if family == "rocket" else 0)
         noise = jnp.asarray(
             rng.standard_normal((T_STEPS, B, su["noise_dim"])), jnp.float32)

@@ -149,7 +149,7 @@ def _xws_corrector(dyn):
 
 def make_mpc_step(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
                   noise_model=default_noise_model, constraints_fn=None,
-                  shared_k: bool = False):
+                  shared_k: bool = False, warm_start: str = "shift"):
     """Build the single warm-started MPC step as a jittable function
     ``step(carry, noise_i) -> (carry, MPCResults)``.
 
@@ -172,10 +172,24 @@ def make_mpc_step(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
     exact seam correction (:func:`_xws_corrector`), which skips the
     open-loop init rollout inside :func:`altro_tpu.solve` while linearizing
     iteration 1 at exactly the trajectory that rollout would produce.
+
+    ``warm_start``: "shift" (default) carries the previous solution —
+    controls shifted one knot, duals shifted, states seam-corrected.
+    "track" seeds every solve from the TRACKING WINDOW's controls instead
+    (duals still shift; set ``opts.reset_duals=True`` for a fully cold
+    start). Measured motivation (round 5, rocket_warmtrap_r5.json): on
+    knife-edge SOC lanes the shifted-control seed can trap the solve at a
+    feasible point up to 38% above the optimum — at ANY tolerance, even
+    the tight config's 23-mean-iteration chain — while the same instance
+    solved from the tracking controls reaches it; the trap is the
+    shifted-control seed specifically (fresh duals alone don't fix it).
     """
     N = prob_mpc.N
     dyn = prob_mpc.dynamics
     xws = _xws_corrector(dyn)
+    if warm_start not in ("shift", "track"):
+        raise ValueError(f"warm_start must be 'shift' or 'track', got "
+                         f"{warm_start!r}")
 
     def _solve_at(k_new, x0_new, X, U, duals):
         Xw, Uw = track_window(X_track, U_track, k_new, N)
@@ -186,9 +200,10 @@ def make_mpc_step(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
             # constraint data as pytree leaves, refreshed without re-jit)
             prob_k = prob_k.replace(constraints=constraints_fn(k_new))
 
-        U_ws = shift_fill(U)
+        U_ws = shift_fill(U) if warm_start == "shift" else Uw
         duals_ws = tuple(d.shift() for d in duals)
-        X_ws = None if xws is None else xws(X, U_ws, x0_new)
+        X_ws = (None if (xws is None or warm_start != "shift")
+                else xws(X, U_ws, x0_new))
         return solve(prob_k, opts, U0=U_ws, duals=duals_ws, X0=X_ws)
 
     def step(carry, noise_i):
@@ -225,7 +240,8 @@ def make_mpc_step(prob_mpc: Problem, opts: SolverOptions, X_track, U_track,
 def make_mpc_step_compacted(prob_mpc: Problem, opts: SolverOptions,
                             X_track, U_track,
                             noise_model=default_noise_model,
-                            constraints_fn=None, it_cap: int = 24):
+                            constraints_fn=None, it_cap: int = 24,
+                            warm_start: str = "shift"):
     """Batched-driver MPC step with STRAGGLER COMPACTION.
 
     A vmapped batch's solve runs until its slowest lane converges, so wall
@@ -252,6 +268,9 @@ def make_mpc_step_compacted(prob_mpc: Problem, opts: SolverOptions,
     N = prob_mpc.N
     dyn = prob_mpc.dynamics
     xws = _xws_corrector(dyn)
+    if warm_start not in ("shift", "track"):
+        raise ValueError(f"warm_start must be 'shift' or 'track', got "
+                         f"{warm_start!r}")
 
     def _prob_at(k_new, x0_new):
         Xw, Uw = track_window(X_track, U_track, k_new, N)
@@ -259,16 +278,17 @@ def make_mpc_step_compacted(prob_mpc: Problem, opts: SolverOptions,
             cost=retarget_tracking(prob_mpc.cost, Xw, Uw), x0=x0_new)
         if constraints_fn is not None:
             prob_k = prob_k.replace(constraints=constraints_fn(k_new))
-        return prob_k
+        return prob_k, Uw
 
     def partial(carry, noise_i, k):
         x0, X, U, duals = carry
         x_prop = dyn.step(x0, U[0], 0)
         x0_new = noise_model(x_prop, noise_i)
-        prob_k = _prob_at(k + 1, x0_new)
-        U_ws = shift_fill(U)
+        prob_k, Uw = _prob_at(k + 1, x0_new)
+        U_ws = shift_fill(U) if warm_start == "shift" else Uw
         duals_ws = tuple(d.shift() for d in duals)
-        X_ws = None if xws is None else xws(X, U_ws, x0_new)
+        X_ws = (None if (xws is None or warm_start != "shift")
+                else xws(X, U_ws, x0_new))
         state = _alt.solve_partial(prob_k, opts, U_ws, duals_ws, X_ws,
                                    it_cap=it_cap)
         return state, x0_new
@@ -279,12 +299,12 @@ def make_mpc_step_compacted(prob_mpc: Problem, opts: SolverOptions,
         # instead of completion — the solver state carries the global
         # iteration counter, so capped resumes compose exactly (multi-level
         # compaction in make_mpc_step_device_compacted).
-        prob_k = _prob_at(k + 1, prob_mpc.x0)
+        prob_k, _ = _prob_at(k + 1, prob_mpc.x0)
         with jax.default_matmul_precision("highest"):
             return _alt._flat_while(prob_k, opts, state, it_cap)
 
     def extract(state, x0_new, k):
-        prob_k = _prob_at(k + 1, prob_mpc.x0)
+        prob_k, _ = _prob_at(k + 1, prob_mpc.x0)
         sol = _alt._finalize(prob_k, state)
         out = MPCResults(X=sol.X, U=sol.U, iters=sol.stats.iterations,
                          status=sol.stats.status, viol=sol.stats.viol,
@@ -303,7 +323,8 @@ def make_mpc_step_device_compacted(prob_mpc: Problem, opts: SolverOptions,
                                    noise_model=default_noise_model,
                                    constraints_fn=None, it_cap: int = 24,
                                    block: int = 128,
-                                   levels: tuple = ()):
+                                   levels: tuple = (),
+                                   warm_start: str = "shift"):
     """Batch-level MPC step with DEVICE-SIDE straggler compaction — one
     jitted program per step, so pipelined dispatch (and the tunnel RTT it
     hides) is preserved, unlike the host-orchestrated
@@ -336,7 +357,7 @@ def make_mpc_step_device_compacted(prob_mpc: Problem, opts: SolverOptions,
     results stay bit-identical to the plain step for any schedule."""
     partial, resume, extract, init_carry = make_mpc_step_compacted(
         prob_mpc, opts, X_track, U_track, noise_model, constraints_fn,
-        it_cap=it_cap)
+        it_cap=it_cap, warm_start=warm_start)
     sched = ((it_cap, block),) + tuple(levels)
 
     def compact(states, k, lvl, cum):

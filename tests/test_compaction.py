@@ -138,3 +138,42 @@ def test_device_compacted_two_level_matches_plain():
                                       np.asarray(ref[t].iters))
         np.testing.assert_array_equal(np.asarray(out2.status),
                                       np.asarray(ref[t].status))
+
+
+def test_device_compacted_track_mode_matches_plain():
+    """warm_start="track" (tracking-seeded solves, the r5 rocket config
+    mode) composes with device-side compaction bit-identically too."""
+    from altro_tpu.mpc import make_mpc_step_device_compacted
+
+    rng = np.random.default_rng(4)
+    prob = random_linear.gen_random_linear(rng, 6, 3, 41, dtype=jnp.float64)
+    cold = jax.jit(at.solve)(prob, at.SolverOptions(
+        cost_tolerance=1e-6, constraint_tolerance=1e-6,
+        penalty_initial=1e3, penalty_scaling=100.0))
+    pm = gen_tracking_mpc(prob, cold.X, cold.U, 15)
+    opts = at.SolverOptions(cost_tolerance=1e-4, constraint_tolerance=1e-4,
+                            penalty_initial=1e3, penalty_scaling=100.0,
+                            reset_duals=True)
+    B, T = 8, 2
+    noise = jnp.asarray(rng.standard_normal((T, B, 6)))
+
+    step, init_carry = make_mpc_step(pm, opts, cold.X, cold.U,
+                                     shared_k=True, warm_start="track")
+    vstep = jax.jit(jax.vmap(step, in_axes=(0, 0, None)))
+    carry = jax.jit(jax.vmap(lambda _: init_carry()))(jnp.arange(B))
+    ref = []
+    for t in range(T):
+        carry, out = vstep(carry, noise[t], jnp.asarray(t, jnp.int32))
+        ref.append(out)
+
+    bstep, icc = make_mpc_step_device_compacted(
+        pm, opts, cold.X, cold.U, it_cap=1, block=4, levels=((1, 2),),
+        warm_start="track")
+    jb = jax.jit(bstep)
+    carry2 = jax.jit(jax.vmap(lambda _: icc()))(jnp.arange(B))
+    for t in range(T):
+        carry2, out2 = jb(carry2, noise[t], jnp.asarray(t, jnp.int32))
+        np.testing.assert_array_equal(np.asarray(out2.U),
+                                      np.asarray(ref[t].U))
+        np.testing.assert_array_equal(np.asarray(out2.iters),
+                                      np.asarray(ref[t].iters))

@@ -53,7 +53,10 @@ def phase1(out_npz, B=B_DEFAULT, variants=VARIANTS):
     track = None
     tight_solver = None
     for vname, ov in variants:
-        su = rocket_setup(jnp.float32, opts_override=ov, track=track)
+        ov = dict(ov) if ov else {}
+        ws = ov.pop("warm_start", "shift")
+        su = rocket_setup(jnp.float32, opts_override=ov or None,
+                          track=track, warm_start=ws)
         track = (su["X_track"], su["U_track"])
         if tight_solver is None:
             su_t = rocket_setup(jnp.float32, opts_override=TIGHT,
@@ -61,7 +64,7 @@ def phase1(out_npz, B=B_DEFAULT, variants=VARIANTS):
             tight_solver = _tight_batch_solver(su_t)
         step, init_carry = make_mpc_step(
             su["prob_mpc"], su["opts"], su["X_track"], su["U_track"],
-            noise_model=su["noise_model"], shared_k=True)
+            noise_model=su["noise_model"], shared_k=True, warm_start=ws)
         vstep = jax.jit(jax.vmap(step, in_axes=(0, 0, None)))
         rng = np.random.default_rng(1)
         noise = jnp.asarray(rng.standard_normal((T_STEPS, B, 6)),
