@@ -103,7 +103,7 @@ def _throughput(step, init_carry, noise, label, batch_step=None):
 
 
 def rocket_setup(dtype=None, N_mpc: int = 21, opts_override: dict = None,
-                 track=None, warm_start: str = "shift"):
+                 track=None, warm_start: str = "track"):
     """Shared rocket MPC-bench construction (problem, warm-solve options,
     tracking reference) used by both :func:`rocket_batched` and the conic
     agreement artifact (bench/agreement_conic.py) so the two always measure
@@ -182,12 +182,31 @@ def rocket_setup(dtype=None, N_mpc: int = 21, opts_override: dict = None,
     # fused L=5's 0.039 at 92.4k — the quality limiter is the kernel's
     # f32 arithmetic on knife-edge lanes, not ladder depth — so L=5 is
     # the dominant point and ships.
+    # ROUND-5 CONFIG REWRITE — tracking-seeded solves, classical inner
+    # loop (the comments above document the r3/r4 configs this replaces;
+    # kept for the measured history). The r5 full-batch multi-window gate
+    # (all 1024 lanes x windows 2..10 vs the f64 truth) exposed what the
+    # 16-lane gate missed: under the SHIFTED-control warm start, 1-3
+    # knife-edge lanes per 1024 stall at feasible points up to 2.5x the
+    # optimal cost — at ANY tolerance (the tight 23-iteration config
+    # leaves a 0.235 lane) and regardless of the r3/r4 knobs
+    # (rocket_gap_diag.json, rocket_retune_r5.json). Isolation
+    # (rocket_warmtrap_r5.json): fresh duals alone do NOT fix it (max
+    # 0.264); seeding from the tracking window's controls does. Shipped
+    # config = warm_start="track" + fresh duals + cost_tolerance 1e-6 +
+    # classical inner loop (inner 50, reg_min 1e-8, no early-exact stop):
+    # 79.7k solves/s with worst-lane gap 0.088 / p99 well under 1%
+    # (rocket_final_r5.json trk_fresh_ct6) — dominating the tight config
+    # (52.2k, 0.235) and every shifted-seed candidate on BOTH axes. The
+    # residual ~0.09 worst-lane tail is an extreme-value statistic of
+    # f32 knife-edge lanes (two bit-different compiles of the same
+    # algorithm move it 0.07 <-> 0.29): see RESULTS.md's conic section.
     okw = dict(
-        cost_tolerance=1e-5, gradient_tolerance=1e-6,
+        cost_tolerance=1e-6, gradient_tolerance=1e-6,
         constraint_tolerance=1e-4, penalty_initial=1e2,
-        penalty_scaling=10.0, reset_duals=False, reset_penalties=True,
-        iterations_outer=15, iterations_inner=8, reg_min=1.0,
-        early_exact_tol=1e-3, iterations_linesearch=5)
+        penalty_scaling=10.0, reset_duals=True, reset_penalties=True,
+        iterations_outer=15, iterations_inner=50, reg_min=1e-8,
+        early_exact_tol=0.0, iterations_linesearch=5)
     okw.update(opts_override or {})
     opts = at.SolverOptions(**okw)
     from altro_tpu.models import rocket as _rocket
@@ -200,7 +219,7 @@ def rocket_setup(dtype=None, N_mpc: int = 21, opts_override: dict = None,
 def rocket_batched(B: int = 1024, T: int = 30, N_mpc: int = 21,
                    opts_override: dict = None, compact_cap: int = 0,
                    compact_block: int = 128, compact_levels: tuple = (),
-                   warm_start: str = "shift"):
+                   warm_start: str = "track"):
     """Rocket soft-landing SOC MPC (max-thrust + thrust-angle + glideslope
     cones; reference MPC config run_simple_rocket.jl:118-132), batched over
     scenarios differing in process noise (wp=1e-3, wv=1e-2)."""
