@@ -89,6 +89,13 @@ def phase1_tpu(out_npz: str, B: int = B_DEFAULT):
         if (t + 1) in CHECK_STEPS:
             save[f"k{t + 1}_x0"] = np.asarray(carry[0])[idx]
             save[f"k{t + 1}_U"] = np.asarray(carry[2])[idx]
+            # full-batch gate (round 5): ALL lanes saved; phase2 scores
+            # them against cold f64 truth solves. Scoring stays in f64 —
+            # f32 cost evaluation on a marginally-stable rollout carries
+            # percent-level noise (see bench/agreement.py's fullbatch
+            # note), which would swamp these ~1e-3-scale gaps.
+            save[f"k{t + 1}_x0full"] = np.asarray(carry[0])
+            save[f"k{t + 1}_Ufull"] = np.asarray(carry[2])
         sts.append(np.asarray(out[0]))
         vls.append(np.asarray(out[1]))
     save["status"] = np.concatenate(sts)
@@ -145,6 +152,37 @@ def phase2_cpu(in_npz: str, out_json: str):
         cost_rel_gap_max=float(np.max(gaps)),
         cost_rel_gap_mean=float(np.mean(gaps)),
         truth_success=int(min(stts)))
+    if f"k{CHECK_STEPS[0]}_x0full" in data:
+        # full-batch f64 scoring: every lane vs a cold tight f64 re-solve
+        # (ct 1e-6; the 16-lane 1e-7 sample above stays the absolute
+        # anchor — it cross-checks this scorer's own tolerance)
+        opts_tight = opts.replace(
+            cost_tolerance=1e-6, gradient_tolerance=1e-8,
+            iterations_outer=30, iterations_inner=50, reg_min=1e-8,
+            early_exact_tol=0.0)
+
+        def tight_one(x0):
+            sol = at.solve(prob.replace(x0=x0), opts_tight)
+            return sol.U, sol.stats.status
+
+        jtight = jax.jit(jax.vmap(tight_one))
+        jcost_b = jax.jit(jax.vmap(traj_cost))
+        gs, stt_all = [], []
+        for k in CHECK_STEPS:
+            x0b = jnp.asarray(data[f"k{k}_x0full"], jnp.float64)
+            Ub = jnp.asarray(data[f"k{k}_Ufull"], jnp.float64)
+            Ut, stt = jtight(x0b)
+            Jb = np.asarray(jcost_b(x0b, Ub))
+            Jt = np.asarray(jcost_b(x0b, Ut))
+            gs.append((Jb - Jt) / np.maximum(np.abs(Jt), 1e-12))
+            stt_all.append(np.asarray(stt))
+        g = np.concatenate(gs)
+        res["fullbatch"] = dict(
+            lanes_x_windows=int(g.size), gap_max=float(g.max()),
+            gap_p99=float(np.percentile(g, 99)), gap_mean=float(g.mean()),
+            tight_success=float(np.concatenate(stt_all).mean()))
+        print(f"fullbatch: gap max {g.max():.2e} p99 "
+              f"{np.percentile(g, 99):.2e}", flush=True)
     os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)
     with open(out_json, "w") as f:
         json.dump(res, f, indent=1)
