@@ -275,7 +275,10 @@ def quadruped_batched(B: int = 1024, rounds: int = 10,
     grid-prepend batching rule) instead of the slow per-lane-data XLA
     path. Measured 5.78x at B=1024 QP (results_tpu/quad_grouped_r5.json;
     iteration agreement 96.6% with the flat path — f32 kernel-order
-    effects only, success identical).
+    effects only, success identical). B/8 must be a multiple of 128 or
+    the kernels' lane packing disengages and grouped LOSES 10x
+    (B=512 grouped measured 1.65k vs 16.5k at B=1024;
+    quad_grouped_reps_r5.json).
     """
     import altro_tpu as at
 
